@@ -1,0 +1,83 @@
+"""Command-line interface.
+
+`simka-tpu` mirrors the reference `simka` tool's flags
+(/root/reference/src/core/Simka.cpp:25-120); `simka-tpu min ...`
+mirrors the `simkaMinCore` subcommands (src/simkaMin/SimkaMin.cpp:87-107).
+
+Run as: python -m simka_tpu.cli [min] <args>
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from simka_tpu.config import SimkaConfig
+
+
+def build_simka_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="simka-tpu",
+        description=(
+            "TPU-native comparative metagenomics: k-mer spectra and "
+            "ecological distance matrices between N samples"
+        ),
+    )
+    p.add_argument("-in", dest="input", required=True, help="input file of samples (one per line: id: f1,f2;f3...)")
+    p.add_argument("-out", dest="out", default="./simka_results", help="output directory for distance matrices")
+    p.add_argument("-out-tmp", dest="out_tmp", default=None, help="temporary directory (checkpoints)")
+    p.add_argument("-keep-tmp", action="store_true", help="keep temporary files")
+    p.add_argument("-kmer-size", type=int, default=21, help="size of a kmer")
+    p.add_argument("-abundance-min", type=int, default=2, help="min abundance a kmer needs to be considered")
+    p.add_argument("-abundance-max", type=int, default=999999999, help="max abundance a kmer can have")
+    p.add_argument("-kmer-shannon-index", type=float, default=0.0, help="minimal Shannon index a kmer should have")
+    p.add_argument("-max-reads", type=int, default=-1, help="max reads per sample (-1 all, 0 auto)")
+    p.add_argument("-min-read-size", type=int, default=0, help="minimal read size")
+    p.add_argument("-read-shannon-index", type=float, default=0.0, help="minimal read Shannon index")
+    p.add_argument("-simple-dist", action="store_true", help="compute all simple distances (Chord, Hellinger...)")
+    p.add_argument("-complex-dist", action="store_true", help="compute all complex distances (Jensen-Shannon...)")
+    p.add_argument("-nb-cores", type=int, default=0, help="accepted for compatibility (XLA manages cores)")
+    p.add_argument("-max-memory", type=int, default=5000, help="accepted for compatibility (MB)")
+    p.add_argument("-verbose", type=int, default=1, help="verbosity")
+    p.add_argument("-n-shards", type=int, default=0, help="k-mer-space shards (0 = all local devices)")
+    return p
+
+
+def simka_main(argv) -> int:
+    args = build_simka_parser().parse_args(argv)
+    config = SimkaConfig(
+        input_filename=args.input,
+        output_dir=args.out,
+        output_tmp_dir=args.out_tmp,
+        kmer_size=args.kmer_size,
+        abundance_min=args.abundance_min,
+        abundance_max=args.abundance_max,
+        min_kmer_shannon_index=args.kmer_shannon_index,
+        max_reads=args.max_reads,
+        min_read_size=args.min_read_size,
+        min_read_shannon_index=args.read_shannon_index,
+        simple_dist=args.simple_dist,
+        complex_dist=args.complex_dist,
+        nb_cores=args.nb_cores,
+        max_memory_mb=args.max_memory,
+        keep_tmp=args.keep_tmp,
+        verbose=bool(args.verbose),
+        n_shards=args.n_shards,
+    )
+    from simka_tpu.core.pipeline import run_simka
+
+    run_simka(config)
+    return 0
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] == "min":
+        from simka_tpu.minhash.cli import min_main
+
+        return min_main(argv[1:])
+    return simka_main(argv)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

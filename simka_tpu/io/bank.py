@@ -1,0 +1,186 @@
+"""Sequence banks: FASTA/FASTQ(.gz) readers, filters, 2-bit batch encoding.
+
+Replaces the gatb-core ``Bank``/``IBank`` layer the reference leans on
+(inventoried in /root/repo/SURVEY.md §2.9) with a host-side reader that
+produces dense, device-ready uint8 code batches. A native (C++) fast
+path can plug in behind :func:`read_sequences` later; the interface is
+"list of raw sequence byte strings" in, "padded [B, Lmax] code batch"
+out.
+
+Encoding: A/a=0, C/c=1, G/g=2, T/t=3, anything else (incl. N and pad)
+= INVALID_CODE. The numeric encoding is deliberately *not* GATB's
+((c>>1)&3): only canonical-class grouping matters for the distance
+math, not k-mer integer values, so we pick the conventional ordering.
+Complement is ``3 - code``.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+from typing import Iterable, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+INVALID_CODE = np.uint8(255)
+
+# base -> 2-bit code lookup
+_CODE_LUT = np.full(256, 255, dtype=np.uint8)
+for _i, _b in enumerate(b"ACGT"):
+    _CODE_LUT[_b] = _i
+    _CODE_LUT[_b + 32] = _i  # lowercase
+
+# base -> Shannon bin, mirroring the reference's nt2binTab
+# (src/core/SimkaCommons.hpp:393-432): A=0, C=1, T=2, G=3, N=4, and
+# every other byte falls in bin 0.
+_SHANNON_LUT = np.zeros(256, dtype=np.uint8)
+_SHANNON_LUT[ord("C")] = 1
+_SHANNON_LUT[ord("T")] = 2
+_SHANNON_LUT[ord("G")] = 3
+_SHANNON_LUT[ord("N")] = 4
+
+
+def _open_maybe_gz(path: str):
+    with open(path, "rb") as probe:
+        magic = probe.read(2)
+    if magic == b"\x1f\x8b":
+        return gzip.open(path, "rb")
+    return open(path, "rb")
+
+
+def _iter_fasta(f) -> Iterator[bytes]:
+    seq_parts: List[bytes] = []
+    for line in f:
+        if line.startswith(b">"):
+            if seq_parts:
+                yield b"".join(seq_parts)
+                seq_parts = []
+        else:
+            seq_parts.append(line.strip())
+    if seq_parts:
+        yield b"".join(seq_parts)
+
+
+def _iter_fastq(f) -> Iterator[bytes]:
+    while True:
+        header = f.readline()
+        if not header:
+            return
+        seq = f.readline().strip()
+        f.readline()  # '+'
+        f.readline()  # quality
+        if header.startswith(b"@"):
+            yield seq
+
+
+def iter_sequences(path: str) -> Iterator[bytes]:
+    """Yield raw sequence byte strings from a FASTA/FASTQ(.gz) file."""
+    f = _open_maybe_gz(path)
+    try:
+        buffered = io.BufferedReader(f) if not isinstance(f, io.BufferedReader) else f
+        first = buffered.peek(1)[:1]
+        if first == b">":
+            yield from _iter_fasta(buffered)
+        elif first == b"@":
+            yield from _iter_fastq(buffered)
+        elif first == b"":
+            return
+        else:
+            raise ValueError(f"{path}: unrecognized sequence format")
+    finally:
+        f.close()
+
+
+def read_sequences(path: str) -> List[bytes]:
+    return list(iter_sequences(path))
+
+
+def shannon_index_read(seq: bytes) -> float:
+    """Read-level Shannon index over the 5 bins A/C/T/G/N.
+
+    Float32 stepping matches the reference
+    (SimkaSequenceFilter::getShannonIndex,
+    src/core/SimkaCommons.hpp:393-432): freqs and the accumulator are
+    C ``float``.
+    """
+    if len(seq) == 0:
+        return 0.0
+    arr = np.frombuffer(seq, dtype=np.uint8)
+    bins = _SHANNON_LUT[arr]
+    freqs = np.bincount(bins, minlength=5)[:5].astype(np.float32)
+    freqs /= np.float32(len(seq))
+    index = np.float32(0.0)
+    for fr in freqs:
+        if fr != 0:
+            index = np.float32(index + fr * np.log(fr) / np.log(2))
+    return float(abs(index))
+
+
+def sequence_passes(
+    seq: bytes, min_read_size: int, min_read_shannon_index: float
+) -> bool:
+    """Reference read filter (SimkaSequenceFilter, SimkaCommons.hpp:317-436)."""
+    if min_read_size != 0 and len(seq) < min_read_size:
+        return False
+    if (
+        min_read_shannon_index != 0.0
+        and shannon_index_read(seq) < min_read_shannon_index
+    ):
+        return False
+    return True
+
+
+def read_dataset(
+    files: Iterable[str],
+    min_read_size: int = 0,
+    min_read_shannon_index: float = 0.0,
+    max_reads: int = 0,
+) -> List[bytes]:
+    """All reads of one dataset, bank by bank, filtered and capped.
+
+    ``max_reads`` semantics follow SimkaInputIterator
+    (src/core/SimkaCommons.hpp:159-314): the cap counts *filtered* reads
+    across the entire dataset (all its banks, consumed sequentially);
+    0 means no cap here (auto-capping is resolved by the pipeline
+    before calling us).
+    """
+    out: List[bytes] = []
+    for path in files:
+        for seq in iter_sequences(path):
+            if not sequence_passes(seq, min_read_size, min_read_shannon_index):
+                continue
+            out.append(seq)
+            if max_reads and len(out) >= max_reads:
+                return out
+    return out
+
+
+def encode_batch(
+    seqs: List[bytes], max_len: Optional[int] = None
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Encode sequences into a dense [B, Lmax] uint8 code batch.
+
+    Padding (and any non-ACGT base) is INVALID_CODE, so a single
+    prefix-sum validity check in the k-mer kernel covers both read ends
+    and ambiguous bases.
+
+    Returns (codes [B, Lmax] uint8, lengths [B] int32).
+    """
+    if not seqs:
+        width = max_len or 1
+        return (
+            np.full((0, width), INVALID_CODE, dtype=np.uint8),
+            np.zeros((0,), dtype=np.int32),
+        )
+    lengths = np.array([len(s) for s in seqs], dtype=np.int32)
+    width = int(max_len if max_len is not None else lengths.max())
+    codes = np.full((len(seqs), width), INVALID_CODE, dtype=np.uint8)
+    for i, s in enumerate(seqs):
+        n = min(len(s), width)
+        codes[i, :n] = _CODE_LUT[np.frombuffer(s[:n], dtype=np.uint8)]
+    return codes, lengths
+
+
+def count_file_reads(path: str) -> int:
+    return sum(1 for _ in iter_sequences(path))

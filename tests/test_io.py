@@ -1,0 +1,86 @@
+import numpy as np
+import pytest
+
+from simka_tpu.io.bank import (
+    encode_batch,
+    read_dataset,
+    read_sequences,
+    shannon_index_read,
+)
+from simka_tpu.io.dsl import parse_input_text
+
+EXAMPLE = "/root/reference/example"
+
+
+def test_parse_dsl_example():
+    text = (
+        "A: A.fasta\n"
+        "B: B.fasta\n"
+        "D: D_paired_1.fasta ; D_paired_2.fasta\n"
+        "E: A.fasta , A.fasta ; B.fasta , B.fasta"
+    )
+    ds = parse_input_text(text, base_dir=EXAMPLE)
+    assert [d.id for d in ds] == ["A", "B", "D", "E"]
+    assert len(ds[2].banks) == 2
+    assert ds[3].banks[0] == [f"{EXAMPLE}/A.fasta"] * 2
+    assert len(ds[3].files) == 4
+
+
+def test_parse_dsl_errors():
+    with pytest.raises(ValueError):
+        parse_input_text("no_colon_line")
+    with pytest.raises(ValueError):
+        parse_input_text("A: f\nA: g")
+    with pytest.raises(ValueError):
+        parse_input_text("")
+
+
+def test_read_fasta_counts():
+    # reference example read counts (SURVEY.md §2.13)
+    assert len(read_sequences(f"{EXAMPLE}/A.fasta")) == 99
+    assert len(read_sequences(f"{EXAMPLE}/B.fasta")) == 102
+    assert len(read_sequences(f"{EXAMPLE}/C.fasta")) == 98
+    assert len(read_sequences(f"{EXAMPLE}/D_paired_1.fasta")) == 93
+    assert len(read_sequences(f"{EXAMPLE}/D_paired_2.fasta")) == 53
+
+
+def test_read_dataset_cap_and_order():
+    files = [f"{EXAMPLE}/D_paired_1.fasta", f"{EXAMPLE}/D_paired_2.fasta"]
+    all_reads = read_dataset(files)
+    assert len(all_reads) == 146
+    capped = read_dataset(files, max_reads=100)
+    assert len(capped) == 100
+    assert capped == all_reads[:100]  # bank-sequential order
+
+
+def test_encode_batch_padding():
+    codes, lengths = encode_batch([b"ACGT", b"AANTA"])
+    assert codes.shape == (2, 5)
+    assert list(codes[0]) == [0, 1, 2, 3, 255]
+    assert list(codes[1]) == [0, 0, 255, 3, 0]
+    assert list(lengths) == [4, 5]
+
+
+def test_shannon_index():
+    # uniform ACGT -> 2 bits
+    assert abs(shannon_index_read(b"ACGTACGT") - 2.0) < 1e-6
+    assert shannon_index_read(b"AAAAAAA") == 0.0
+    # half A half C -> 1 bit
+    assert abs(shannon_index_read(b"AACC") - 1.0) < 1e-6
+
+
+def test_fastq(tmp_path):
+    p = tmp_path / "x.fastq"
+    p.write_bytes(b"@r1\nACGTACGT\n+\nIIIIIIII\n@r2\nTTTT\n+\nIIII\n")
+    seqs = read_sequences(str(p))
+    assert seqs == [b"ACGTACGT", b"TTTT"]
+
+
+def test_gzip_roundtrip(tmp_path):
+    import gzip
+
+    p = tmp_path / "x.fasta.gz"
+    with gzip.open(p, "wb") as f:
+        f.write(b">r1\nACGT\nACGT\n>r2\nTTTT\n")
+    seqs = read_sequences(str(p))
+    assert seqs == [b"ACGTACGT", b"TTTT"]
