@@ -51,8 +51,6 @@ def main():
             n_banks=n_banks,
             simple=False,
             complex_=False,
-            chunk_rows=4096,
-            sub_rows=512,
         )
 
     step_jit = jax.jit(step)

@@ -80,7 +80,15 @@ def compute_statistics(
     dataset_ids: List[str],
     config: SimkaConfig,
 ) -> SimkaStatistics:
-    """Full statistics from in-memory per-dataset read lists."""
+    """Full statistics from in-memory per-dataset read lists.
+
+    Runs single-device, or -- when the config requests shards / more
+    than one local device exists -- sharded over the k-mer hash space
+    with a psum reduction (bit-identical either way; see
+    tests/test_sharded.py).
+    """
+    import jax
+
     k = config.kmer_size
     his, los, sids = [], [], []
     nb_reads = []
@@ -95,28 +103,50 @@ def compute_statistics(
     lo = np.concatenate(los) if los else np.empty(0, np.uint32)
     sid = np.concatenate(sids) if sids else np.empty(0, np.int32)
 
-    # pad the instance stream to a stable size class (power-of-two-ish)
-    # so repeated runs reuse the compiled program
-    E = max(len(hi), 1)
-    target = 1 << max(10, (E - 1).bit_length())
-    pad = target - len(hi)
-    if pad:
-        hi = np.concatenate([hi, np.full(pad, 0xFFFFFFFF, np.uint32)])
-        lo = np.concatenate([lo, np.full(pad, 0xFFFFFFFF, np.uint32)])
-        sid = np.concatenate([sid, np.zeros(pad, np.int32)])
+    n_shards = config.n_shards or len(jax.devices())
+    if n_shards > 1 and len(jax.devices()) >= n_shards:
+        from simka_tpu.parallel.sharded import (
+            make_mesh,
+            shard_instances_by_hash,
+            sharded_count_join_stats,
+        )
 
-    js = count_join_stats(
-        jnp.asarray(hi),
-        jnp.asarray(lo),
-        jnp.asarray(sid),
-        jnp.int32(config.abundance_min),
-        jnp.int64(config.abundance_max),
-        n_banks=len(dataset_ids),
-        simple=config.simple_dist,
-        complex_=config.complex_dist,
-        chunk_rows=config.chunk_rows,
-        sub_rows=min(512, config.chunk_rows),
-    )
+        mesh = make_mesh(n_shards)
+        hs, ls, ss = shard_instances_by_hash(hi, lo, sid, n_shards)
+        js = sharded_count_join_stats(
+            hs,
+            ls,
+            ss,
+            config.abundance_min,
+            config.abundance_max,
+            mesh=mesh,
+            n_banks=len(dataset_ids),
+            simple=config.simple_dist,
+            complex_=config.complex_dist,
+            chunk_rows=config.chunk_rows,
+        )
+    else:
+        # pad the instance stream to a stable size class so repeated
+        # runs reuse the compiled program
+        E = max(len(hi), 1)
+        target = 1 << max(10, (E - 1).bit_length())
+        pad = target - len(hi)
+        if pad:
+            hi = np.concatenate([hi, np.full(pad, 0xFFFFFFFF, np.uint32)])
+            lo = np.concatenate([lo, np.full(pad, 0xFFFFFFFF, np.uint32)])
+            sid = np.concatenate([sid, np.zeros(pad, np.int32)])
+
+        js = count_join_stats(
+            jnp.asarray(hi),
+            jnp.asarray(lo),
+            jnp.asarray(sid),
+            jnp.int32(config.abundance_min),
+            jnp.int64(config.abundance_max),
+            n_banks=len(dataset_ids),
+            simple=config.simple_dist,
+            complex_=config.complex_dist,
+            chunk_rows=config.chunk_rows,
+        )
     return SimkaStatistics.from_join_stats(
         js,
         dataset_ids,
@@ -135,15 +165,18 @@ def run_simka(config: SimkaConfig) -> Dict[str, np.ndarray]:
     ids = [d.id for d in datasets]
 
     if config.max_reads == 0:
-        # auto mode needs raw (filtered) read counts first
+        # auto mode: per-GROUP read counts (the reference divides each
+        # dataset's read estimate by its ';'-group count,
+        # SimkaPotara.hpp:646)
         raw_counts = [
             len(
                 read_dataset(
-                    d.files,
+                    d.banks,
                     config.min_read_size,
                     config.min_read_shannon_index,
                 )
             )
+            // max(len(d.banks), 1)
             for d in datasets
         ]
         cap = resolve_max_reads(raw_counts, 0)
@@ -152,7 +185,7 @@ def run_simka(config: SimkaConfig) -> Dict[str, np.ndarray]:
 
     dataset_seqs = [
         read_dataset(
-            d.files,
+            d.banks,
             config.min_read_size,
             config.min_read_shannon_index,
             max_reads=cap,

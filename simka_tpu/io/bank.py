@@ -132,27 +132,53 @@ def sequence_passes(
 
 
 def read_dataset(
-    files: Iterable[str],
+    banks: Iterable,
     min_read_size: int = 0,
     min_read_shannon_index: float = 0.0,
     max_reads: int = 0,
 ) -> List[bytes]:
-    """All reads of one dataset, bank by bank, filtered and capped.
+    """All reads of one dataset, group by group, filtered and capped.
 
-    ``max_reads`` semantics follow SimkaInputIterator
-    (src/core/SimkaCommons.hpp:159-314): the cap counts *filtered* reads
-    across the entire dataset (all its banks, consumed sequentially);
-    0 means no cap here (auto-capping is resolved by the pipeline
-    before calling us).
+    ``banks`` is the dataset's list of ';'-paired groups, each a list
+    of ','-concatenated files (io.dsl.Dataset.banks); a flat list of
+    paths is accepted as one single group.
+
+    ``max_reads`` applies PER GROUP, not per dataset: both workers
+    construct SimkaInputIterator with nbDatasets = the dataset's
+    ';'-group count (SimkaCount.cpp:267 + SimkaPotara.hpp:853;
+    SimkaMinCount.hpp:1140 + 979), which makes each group a "virtual
+    dataset" with its own read counter. The cap counts *filtered*
+    reads. 0 = no cap.
     """
+    banks = list(banks)
+    if banks and isinstance(banks[0], (str, bytes, os.PathLike)):
+        banks = [banks]
     out: List[bytes] = []
-    for path in files:
-        for seq in iter_sequences(path):
-            if not sequence_passes(seq, min_read_size, min_read_shannon_index):
-                continue
-            out.append(seq)
-            if max_reads and len(out) >= max_reads:
-                return out
+    for group in banks:
+        # SimkaInputIterator counting quirks (SimkaCommons.hpp:226-290):
+        # the first passing read of each file arrives via first() and is
+        # NOT counted ("free"), and the read whose increment reaches the
+        # cap is loaded but never consumed (nextDataset overwrites it).
+        c = 0
+        capped = False
+        for path in group:
+            first_in_file = True
+            for seq in iter_sequences(path):
+                if not sequence_passes(
+                    seq, min_read_size, min_read_shannon_index
+                ):
+                    continue
+                if first_in_file:
+                    first_in_file = False
+                    out.append(seq)
+                    continue
+                c += 1
+                if max_reads and c >= max_reads:
+                    capped = True
+                    break
+                out.append(seq)
+            if capped:
+                break
     return out
 
 

@@ -1,0 +1,133 @@
+"""ctypes bindings for the native FASTA/FASTQ parser (fastx.cpp).
+
+Compiled on first use with g++ (cached next to the source); callers
+fall back to the pure-Python reader in simka_tpu.io.bank when the
+toolchain or zlib is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "fastx.cpp")
+_LIB = os.path.join(_DIR, "libfastx.so")
+
+_lib = None
+_tried = False
+
+
+def _build() -> Optional[str]:
+    if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(
+        _SRC
+    ):
+        return _LIB
+    cmd = [
+        "g++",
+        "-O3",
+        "-march=native",
+        "-shared",
+        "-fPIC",
+        _SRC,
+        "-o",
+        _LIB,
+        "-lz",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return _LIB
+    except Exception:
+        return None
+
+
+def get_lib():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    path = _build()
+    if path is None:
+        return None
+    lib = ctypes.CDLL(path)
+    lib.fastx_open.restype = ctypes.c_void_p
+    lib.fastx_open.argtypes = [ctypes.c_char_p]
+    lib.fastx_close.argtypes = [ctypes.c_void_p]
+    lib.fastx_read_batch.restype = ctypes.c_int64
+    lib.fastx_read_batch.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_float,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.fastx_count_reads.restype = ctypes.c_int64
+    lib.fastx_count_reads.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int32,
+        ctypes.c_float,
+    ]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def iter_code_batches(
+    path: str,
+    batch_reads: int,
+    max_len: int,
+    min_read_size: int = 0,
+    min_shannon: float = 0.0,
+    encoding: str = "acgt",
+) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Yield (codes [n, max_len] uint8, lengths [n] int32) batches."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native fastx library unavailable")
+    h = lib.fastx_open(path.encode())
+    if not h:
+        raise IOError(f"cannot open sequence file: {path}")
+    enc = 1 if encoding == "gatb" else 0
+    try:
+        while True:
+            codes = np.empty((batch_reads, max_len), np.uint8)
+            lengths = np.empty(batch_reads, np.int32)
+            n = lib.fastx_read_batch(
+                h,
+                batch_reads,
+                max_len,
+                min_read_size,
+                min_shannon,
+                enc,
+                codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            )
+            if n <= 0:
+                break
+            yield codes[:n], lengths[:n]
+            if n < batch_reads:
+                break
+    finally:
+        lib.fastx_close(h)
+
+
+def count_reads(
+    path: str, min_read_size: int = 0, min_shannon: float = 0.0
+) -> int:
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native fastx library unavailable")
+    n = lib.fastx_count_reads(path.encode(), min_read_size, min_shannon)
+    if n < 0:
+        raise IOError(f"cannot open sequence file: {path}")
+    return n

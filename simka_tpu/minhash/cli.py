@@ -1,0 +1,98 @@
+"""`simka-tpu min` subcommands, mirroring simkaMinCore
+(/root/reference/src/simkaMin/SimkaMin.cpp:87-107)."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def min_main(argv) -> int:
+    parser = argparse.ArgumentParser(prog="simka-tpu min")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("sketch", help="transform datasets into sketches")
+    p.add_argument("-in", dest="input", required=True)
+    p.add_argument("-out", dest="out", required=True)
+    p.add_argument("-kmer-size", type=int, default=21)
+    p.add_argument("-nb-kmers", type=int, default=100000)
+    p.add_argument("-seed", type=int, default=100)
+    p.add_argument("-filter", action="store_true")
+    p.add_argument("-max-reads", type=int, default=0)
+    p.add_argument("-min-read-size", type=int, default=0)
+    p.add_argument("-min-shannon-index", type=float, default=0.0)
+    p.add_argument("-nb-cores", type=int, default=0)
+    p.add_argument("-max-memory", type=int, default=8000)
+
+    p = sub.add_parser("distance", help="compute distances between sketches")
+    p.add_argument("-in1", required=True)
+    p.add_argument("-in2", required=True)
+    p.add_argument("-out", dest="out", required=True)
+    p.add_argument("-start-i", type=int, default=0)
+    p.add_argument("-start-j", type=int, default=0)
+    p.add_argument("-n-i", type=int, default=0)
+    p.add_argument("-n-j", type=int, default=0)
+    p.add_argument("-nb-cores", type=int, default=0)
+
+    p = sub.add_parser("export", help="binary matrices -> csv.gz")
+    p.add_argument("-in", dest="input", required=True)
+    p.add_argument("-in1", required=True)
+    p.add_argument("-in2", required=True)
+    p.add_argument("-out", dest="out", required=True)
+    p.add_argument("-nb-cores", type=int, default=0)
+
+    p = sub.add_parser("append", help="append sketch file 2 to file 1")
+    p.add_argument("-in1", required=True)
+    p.add_argument("-in2", required=True)
+
+    p = sub.add_parser("info", help="print sketch file info")
+    p.add_argument("-in", dest="input", required=True)
+
+    p = sub.add_parser("pipeline", help="sketch + distance + export (simkaMin.py flow)")
+    p.add_argument("-in", dest="input", required=True)
+    p.add_argument("-out", dest="out", required=True)
+    p.add_argument("-kmer-size", type=int, default=21)
+    p.add_argument("-nb-kmers", type=int, default=1000000)
+    p.add_argument("-seed", type=int, default=100)
+    p.add_argument("-filter", action="store_true")
+    p.add_argument("-max-reads", type=int, default=0)
+    p.add_argument("-min-read-size", type=int, default=0)
+    p.add_argument("-min-shannon-index", type=float, default=0.0)
+
+    p = sub.add_parser("update", help="add new datasets to an existing run")
+    p.add_argument("-in", dest="input", required=True)
+    p.add_argument("-out", dest="out", required=True, help="existing pipeline output dir")
+
+    args = parser.parse_args(argv)
+    from simka_tpu.minhash import pipeline as mp
+
+    if args.cmd == "sketch":
+        mp.sketch_command(
+            args.input, args.out, args.kmer_size, args.nb_kmers,
+            args.seed, args.filter, args.max_reads, args.min_read_size,
+            args.min_shannon_index,
+        )
+    elif args.cmd == "distance":
+        mp.distance_command(
+            args.in1, args.in2, args.out, args.start_i, args.start_j,
+            args.n_i, args.n_j,
+        )
+    elif args.cmd == "export":
+        mp.export_command(args.input, args.in1, args.in2, args.out)
+    elif args.cmd == "append":
+        mp.append_command(args.in1, args.in2)
+    elif args.cmd == "info":
+        print(mp.info_command(args.input))
+    elif args.cmd == "pipeline":
+        mp.run_simka_min(
+            args.input, args.out, args.kmer_size, args.nb_kmers,
+            args.seed, args.filter, args.max_reads, args.min_read_size,
+            args.min_shannon_index,
+        )
+    elif args.cmd == "update":
+        mp.run_simka_min_update(args.out, args.input)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(min_main(sys.argv[1:]))

@@ -1,0 +1,265 @@
+"""SimkaMin pipelines: sketch / distance / export / append / update.
+
+Covers the `simkaMinCore` subcommands (src/simkaMin/SimkaMin.cpp:87-107)
+plus the simkaMin.py and simkaMin_update.py driver flows
+(/root/reference/simkaMin/).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from simka_tpu.core.output import dump_matrix_csv_gz
+from simka_tpu.io.bank import read_dataset
+from simka_tpu.io.dsl import check_input_validity, parse_input_file
+from simka_tpu.minhash.distance import (
+    MATRIX_NAMES,
+    BinaryMatrix,
+    compute_distance_block,
+    merge_matrices,
+)
+from simka_tpu.minhash.sketch import compute_sketch
+from simka_tpu.minhash.sketch_file import SketchFile
+
+
+def sketch_command(
+    input_filename: str,
+    output_path: str,
+    kmer_size: int = 21,
+    sketch_size: int = 100_000,
+    seed: int = 100,
+    use_filter: bool = False,
+    max_reads: int = 0,
+    min_read_size: int = 0,
+    min_read_shannon_index: float = 0.0,
+    verbose: bool = True,
+) -> SketchFile:
+    """`simkaMinCore sketch`: one bottom-s sketch per dataset.
+
+    SimkaMin's -max-reads default is 0 = use all reads
+    (SimkaMinCount.hpp:1402), unlike exact simka's auto mode.
+    """
+    datasets = parse_input_file(input_filename)
+    check_input_validity(datasets)
+    sf = SketchFile.create(
+        output_path, kmer_size, sketch_size, seed, len(datasets)
+    )
+    for i, ds in enumerate(datasets):
+        seqs = read_dataset(
+            ds.banks,
+            min_read_size,
+            min_read_shannon_index,
+            max_reads=max_reads,
+        )
+        hashes, counts = compute_sketch(
+            seqs, kmer_size, sketch_size, seed, use_filter
+        )
+        sf.write_slot(i, hashes, counts)
+        if verbose:
+            print(
+                f"[simka-tpu min] sketched {ds.id}: {len(seqs)} reads, "
+                f"{len(hashes)} sketch k-mers"
+            )
+    sf.write_ids([d.id for d in datasets])
+    return sf
+
+
+def _load_sketch_block(sf: SketchFile, start: int, n: int):
+    return [sf.read_slot(start + i) for i in range(n)]
+
+
+def distance_command(
+    in1: str,
+    in2: str,
+    output_dir: str,
+    start_i: int = 0,
+    start_j: int = 0,
+    n_i: int = 0,
+    n_j: int = 0,
+) -> None:
+    """`simkaMinCore distance`: fill a block of the binary matrices.
+
+    Symmetric mode (reference SimkaMinDistance.hpp:619-753) triggers
+    when both inputs are the same file AND start_i == start_j.
+    """
+    sf1, sf2 = SketchFile(in1), SketchFile(in2)
+    h1, h2 = sf1.header(), sf2.header()
+    if h1.kmer_size != h2.kmer_size or h1.seed != h2.seed:
+        # reference enforces k and seed equality
+        # (SimkaMinDistance.hpp:990-998)
+        raise ValueError("sketch files differ in kmer-size or seed")
+    n_i = n_i or h1.nb_datasets
+    n_j = n_j or h2.nb_datasets
+
+    same = os.path.abspath(in1) == os.path.abspath(in2)
+    symmetric = same and start_i == start_j
+    nmat1 = h1.nb_datasets
+    nmat2 = h2.nb_datasets
+
+    s1 = _load_sketch_block(sf1, start_i, n_i)
+    s2 = s1 if symmetric else _load_sketch_block(sf2, start_j, n_j)
+    jac, bc = compute_distance_block(s1, s2, symmetric)
+
+    os.makedirs(output_dir, exist_ok=True)
+    for name, block in zip(MATRIX_NAMES, (jac, bc)):
+        mat = BinaryMatrix(
+            os.path.join(output_dir, name + ".bin"), nmat1, nmat2
+        )
+        mat.write_block(start_i, start_j, block)
+        if same and not symmetric:
+            # off-diagonal tile of a symmetric matrix: mirror it
+            mat.write_block(start_j, start_i, block.T)
+
+
+def export_command(
+    distance_dir: str,
+    in1: str,
+    in2: str,
+    output_dir: str,
+) -> List[str]:
+    """`simkaMinCore export`: binary matrices -> csv.gz with ids
+    (reference SimkaMinDistanceMatrixExporterAlgorithm,
+    SimkaMinDistanceMatrixExporter.hpp:233-446)."""
+    ids1 = SketchFile(in1).ids()
+    ids2 = SketchFile(in2).ids()
+    os.makedirs(output_dir, exist_ok=True)
+    out = []
+    for fname in sorted(os.listdir(distance_dir)):
+        if not (fname.startswith("mat_") and fname.endswith(".bin")):
+            continue
+        name = fname[: -len(".bin")]
+        mat = np.fromfile(
+            os.path.join(distance_dir, fname), dtype=np.float32
+        ).reshape(len(ids1), len(ids2))
+        out.append(dump_matrix_csv_gz(output_dir, name, mat, ids1))
+    return out
+
+
+def append_command(in1: str, in2: str) -> None:
+    """`simkaMinCore append`: merge sketch file 2 into file 1."""
+    SketchFile(in1).append(SketchFile(in2))
+
+
+def info_command(path: str) -> str:
+    return SketchFile(path).info()
+
+
+def matrix_update_command(
+    existing_dir: str, existing_vs_new_dir: str, new_vs_new_dir: str,
+    n_old: int, n_new: int,
+) -> None:
+    """`simkaMinCore matrix-update` (hidden subcommand): grow every
+    binary matrix in `existing_dir` in place."""
+    for name in MATRIX_NAMES:
+        fn = name + ".bin"
+        existing = np.fromfile(
+            os.path.join(existing_dir, fn), dtype=np.float32
+        ).reshape(n_old, n_old)
+        evn = np.fromfile(
+            os.path.join(existing_vs_new_dir, fn), dtype=np.float32
+        ).reshape(n_old, n_new)
+        nvn = np.fromfile(
+            os.path.join(new_vs_new_dir, fn), dtype=np.float32
+        ).reshape(n_new, n_new)
+        merged = merge_matrices(existing, evn, nvn)
+        merged.tofile(os.path.join(existing_dir, fn))
+
+
+def run_simka_min(
+    input_filename: str,
+    output_dir: str,
+    kmer_size: int = 21,
+    sketch_size: int = 1_000_000,
+    seed: int = 100,
+    use_filter: bool = False,
+    max_reads: int = 0,
+    min_read_size: int = 0,
+    min_read_shannon_index: float = 0.0,
+    tile: int = 100,
+    verbose: bool = True,
+) -> List[str]:
+    """The simkaMin.py driver flow: sketch -> tiled distance -> export.
+
+    The 100-dataset tiling (simkaMin.py:158-187) exists to bound the
+    reference's RAM; we keep the same block structure as the unit of
+    work (and of future device dispatch)."""
+    os.makedirs(output_dir, exist_ok=True)
+    sketch_dir = os.path.join(output_dir, "sketch")
+    dist_dir = os.path.join(output_dir, "distance")
+    os.makedirs(sketch_dir, exist_ok=True)
+    os.makedirs(dist_dir, exist_ok=True)
+    sketch_path = os.path.join(sketch_dir, "sketch.bin")
+
+    sf = sketch_command(
+        input_filename,
+        sketch_path,
+        kmer_size,
+        sketch_size,
+        seed,
+        use_filter,
+        max_reads,
+        min_read_size,
+        min_read_shannon_index,
+        verbose=verbose,
+    )
+    n = sf.header().nb_datasets
+    steps = -(-n // tile)
+    for bi in range(steps):
+        ni = min(tile, n - bi * tile)
+        for bj in range(bi, steps):
+            nj = min(tile, n - bj * tile)
+            distance_command(
+                sketch_path,
+                sketch_path,
+                dist_dir,
+                start_i=bi * tile,
+                start_j=bj * tile,
+                n_i=ni,
+                n_j=nj,
+            )
+    return export_command(dist_dir, sketch_path, sketch_path, output_dir)
+
+
+def run_simka_min_update(
+    existing_output_dir: str,
+    new_input_filename: str,
+    verbose: bool = True,
+) -> List[str]:
+    """The simkaMin_update.py flow: sketch new datasets with the
+    existing header's (k, s, seed), distance existing-vs-new and
+    new-vs-new, matrix-update, append, re-export."""
+    sketch_path = os.path.join(existing_output_dir, "sketch", "sketch.bin")
+    dist_dir = os.path.join(existing_output_dir, "distance")
+    h = SketchFile(sketch_path).header()
+    n_old = h.nb_datasets
+
+    new_sketch = sketch_path + ".new"
+    sketch_command(
+        new_input_filename,
+        new_sketch,
+        h.kmer_size,
+        h.sketch_size,
+        h.seed,
+        verbose=verbose,
+    )
+    n_new = SketchFile(new_sketch).header().nb_datasets
+
+    evn_dir = os.path.join(dist_dir, "existingVsNew")
+    nvn_dir = os.path.join(dist_dir, "newVsNew")
+    os.makedirs(evn_dir, exist_ok=True)
+    os.makedirs(nvn_dir, exist_ok=True)
+    distance_command(sketch_path, new_sketch, evn_dir)
+    distance_command(new_sketch, new_sketch, nvn_dir)
+    matrix_update_command(dist_dir, evn_dir, nvn_dir, n_old, n_new)
+    SketchFile(sketch_path).append(SketchFile(new_sketch))
+    os.remove(new_sketch)
+    import shutil
+
+    shutil.rmtree(evn_dir)
+    shutil.rmtree(nvn_dir)
+    return export_command(
+        dist_dir, sketch_path, sketch_path, existing_output_dir
+    )

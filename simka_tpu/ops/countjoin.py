@@ -162,6 +162,7 @@ def _pair_terms(
         "chunk_rows",
         "sub_rows",
         "vary_axes",
+        "psum_axis",
     ),
 )
 def count_join_stats(
@@ -174,9 +175,10 @@ def count_join_stats(
     n_banks: int,
     simple: bool = False,
     complex_: bool = False,
-    chunk_rows: int = 4096,
-    sub_rows: int = 512,
+    chunk_rows: int = 1 << 18,
+    sub_rows: int = 0,
     vary_axes: tuple = (),
+    psum_axis: str = "",
 ) -> JoinStats:
     """Compute all distance sufficient statistics for one k-mer shard.
 
@@ -188,6 +190,11 @@ def count_join_stats(
       n_banks: number of samples N (static).
     """
     E = hi.shape[0]
+    if chunk_rows <= n_banks:
+        raise ValueError("chunk_rows must exceed n_banks")
+    if not sub_rows:
+        # bound the [sub, N, N] pair-broadcast to ~4M elements
+        sub_rows = max(256, min(chunk_rows, (1 << 22) // (n_banks * n_banks)))
     idx = jnp.arange(E, dtype=jnp.int32)
 
     # ---- pass 1: group (kmer, sample) -> per-sample counts ----
@@ -223,6 +230,16 @@ def count_join_stats(
         jnp.where(kept, count64 * count64, 0), sid_clip, n_banks + 1
     )[:n_banks]
 
+    if psum_axis:
+        # running under shard_map over disjoint k-mer hash ranges:
+        # per-bank totals must be GLOBAL before the pair terms use
+        # them (the reference's merge reads whole-sample counts from
+        # the count_synchro metadata, SimkaDistance.cpp:114-152 --
+        # Whittaker and Kullback-Leibler depend on them)
+        distinct_per_bank = jax.lax.psum(distinct_per_bank, psum_axis)
+        solid_per_bank = jax.lax.psum(solid_per_bank, psum_axis)
+        chord_n2_per_bank = jax.lax.psum(chord_n2_per_bank, psum_axis)
+
     # ---- pass 2: group surviving rows by kmer (the join) ----
     hi2 = jnp.where(kept, hi, SENTINEL)
     lo2 = jnp.where(kept, lo, SENTINEL)
@@ -247,26 +264,38 @@ def count_join_stats(
     # exact because masked rows contribute 0.
     n_shared = jnp.sum(seg_len >= 2)
 
-    # ---- pass 3: chunked dense accumulation ----
-    S = chunk_rows * n_banks  # worst-case rows per segment-chunk
-    padk = jnp.full((S,), E, jnp.int32)
+    # ---- pass 3: entry-chunked dense accumulation ----
+    # Chunks cover a fixed number of ENTRIES (not segments), truncated
+    # to whole segments: the boundary segment (possibly split by the
+    # window edge) is deferred to the next chunk. Each segment has
+    # <= n_banks entries, so every chunk advances by at least
+    # chunk_rows - n_banks entries; with chunk_rows >> n_banks the
+    # number of sequential loop steps is ~E/chunk_rows.
+    S = chunk_rows
+    n_kept = jnp.sum(kept2).astype(jnp.int32)
+    padk = jnp.full((S + 1,), E, jnp.int32)
     seg_p = jnp.concatenate([seg_e, padk])
-    sid_p = jnp.concatenate([sid2, jnp.zeros((S,), sid2.dtype)])
-    cnt_p = jnp.concatenate([cnt2, jnp.zeros((S,), cnt2.dtype)])
+    sid_p = jnp.concatenate([sid2, jnp.zeros((S + 1,), sid2.dtype)])
+    cnt_p = jnp.concatenate([cnt2, jnp.zeros((S + 1,), cnt2.dtype)])
 
     N = n_banks
 
     def chunk_body(state):
-        c, acc = state
-        base = c * chunk_rows
-        start = jnp.searchsorted(seg_e, base).astype(jnp.int32)
+        start, acc = state
+        base = jax.lax.dynamic_index_in_dim(
+            seg_p, start, keepdims=False
+        )
+        # first segment NOT fully inside the window
+        bound = jax.lax.dynamic_index_in_dim(
+            seg_p, start + S, keepdims=False
+        )
         e_seg = jax.lax.dynamic_slice_in_dim(seg_p, start, S)
         e_sid = jax.lax.dynamic_slice_in_dim(sid_p, start, S)
         e_cnt = jax.lax.dynamic_slice_in_dim(cnt_p, start, S)
-        in_rng = (e_seg >= base) & (e_seg < base + chunk_rows)
+        in_rng = (e_seg >= base) & (e_seg < bound)
         row = jnp.where(in_rng, e_seg - base, 0)
         col = jnp.where(in_rng, e_sid, 0)
-        C = jnp.zeros((chunk_rows, N), jnp.int32).at[row, col].add(
+        C = jnp.zeros((S, N), jnp.int32).at[row, col].add(
             jnp.where(in_rng, e_cnt, 0)
         )
         P = (C > 0).astype(jnp.int32)
@@ -291,11 +320,13 @@ def count_join_stats(
         acc["hellinger"] = acc["hellinger"] + pt["hellinger"]
         acc["whittaker"] = acc["whittaker"] + pt["whittaker"]
         acc["kl"] = acc["kl"] + pt["kl"]
-        return c + 1, acc
+
+        next_start = jnp.searchsorted(seg_e, bound).astype(jnp.int32)
+        return next_start, acc
 
     def chunk_cond(state):
-        c, _ = state
-        return c * chunk_rows < n_distinct
+        start, _ = state
+        return start < n_kept
 
     acc0 = {
         "shared_kmers": jnp.zeros((N, N), jnp.int64),
@@ -312,11 +343,12 @@ def count_join_stats(
         acc0 = jax.tree.map(
             lambda x: jax.lax.pvary(x, vary_axes), acc0
         )
-    _, acc = jax.lax.while_loop(
-        chunk_cond, chunk_body, (jnp.int32(0), acc0)
-    )
+    start0 = jnp.int32(0)
+    if vary_axes:
+        start0 = jax.lax.pvary(start0, vary_axes)
+    _, acc = jax.lax.while_loop(chunk_cond, chunk_body, (start0, acc0))
 
-    return JoinStats(
+    out = JoinStats(
         nb_distinct=n_distinct.astype(jnp.int64),
         nb_shared=n_shared.astype(jnp.int64),
         distinct_per_bank=distinct_per_bank,
@@ -330,3 +362,18 @@ def count_join_stats(
         whittaker=acc["whittaker"],
         kullback_leibler=acc["kl"],
     )
+    if psum_axis:
+        # per-bank totals are already global (psum'd above); everything
+        # else is additive over disjoint shards
+        out = out._replace(
+            nb_distinct=jax.lax.psum(out.nb_distinct, psum_axis),
+            nb_shared=jax.lax.psum(out.nb_shared, psum_axis),
+            shared_kmers=jax.lax.psum(out.shared_kmers, psum_axis),
+            shared_distinct=jax.lax.psum(out.shared_distinct, psum_axis),
+            bray_numerator=jax.lax.psum(out.bray_numerator, psum_axis),
+            chord_ninj=jax.lax.psum(out.chord_ninj, psum_axis),
+            hellinger=jax.lax.psum(out.hellinger, psum_axis),
+            whittaker=jax.lax.psum(out.whittaker, psum_axis),
+            kullback_leibler=jax.lax.psum(out.kullback_leibler, psum_axis),
+        )
+    return out

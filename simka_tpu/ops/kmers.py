@@ -22,14 +22,18 @@ import jax.numpy as jnp
 SENTINEL = jnp.uint32(0xFFFFFFFF)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def extract_canonical_kmers(codes, k: int):
+@functools.partial(jax.jit, static_argnames=("k", "comp_xor"))
+def extract_canonical_kmers(codes, k: int, comp_xor: int = 3):
     """Extract all canonical k-mers from a batch of encoded reads.
 
     Args:
       codes: uint8 [B, L] base codes (0..3; INVALID_CODE=255 for
         non-ACGT and padding).
       k: k-mer size (1..31), static.
+      comp_xor: XOR mask realizing base complement in the chosen
+        encoding: 3 for A=0,C=1,G=2,T=3 (ours); 2 for gatb-core's
+        A=0,C=1,T=2,G=3 (needed when k-mer VALUES must match gatb,
+        e.g. SimkaMin murmur hashing).
 
     Returns:
       (hi, lo, valid): uint32 [B, W], uint32 [B, W], bool [B, W] with
@@ -58,7 +62,7 @@ def extract_canonical_kmers(codes, k: int):
         b_f = jax.lax.dynamic_slice_in_dim(c32, i, W, axis=1) & 3
         b_r = (
             jax.lax.dynamic_slice_in_dim(c32, k - 1 - i, W, axis=1) & 3
-        ) ^ 3
+        ) ^ comp_xor
         fwd_hi = (fwd_hi << 2) | (fwd_lo >> 30)
         fwd_lo = (fwd_lo << 2) | b_f
         rc_hi = (rc_hi << 2) | (rc_lo >> 30)

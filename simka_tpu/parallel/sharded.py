@@ -31,6 +31,11 @@ def make_mesh(n_devices: int = 0, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
     if n_devices:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} devices are available"
+            )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), axis_names=("shards",))
 
@@ -99,7 +104,7 @@ def sharded_count_join_stats(
     simple: bool = False,
     complex_: bool = False,
     chunk_rows: int = 4096,
-    sub_rows: int = 512,
+    sub_rows: int = 0,
 ) -> JoinStats:
     """Run the fused count/join on every shard and psum-reduce.
 
@@ -115,7 +120,9 @@ def sharded_count_join_stats(
         out_specs=jax.tree.map(lambda _: P(), JoinStats(*[0] * 12)),
     )
     def step(hi, lo, sid, amin, amax):
-        js = count_join_stats(
+        # psum_axis makes the per-bank totals global BEFORE the pair
+        # terms consume them, then reduces every pairwise accumulator
+        return count_join_stats(
             hi[0],
             lo[0],
             sid[0],
@@ -127,9 +134,7 @@ def sharded_count_join_stats(
             chunk_rows=chunk_rows,
             sub_rows=sub_rows,
             vary_axes=("shards",),
-        )
-        return jax.tree.map(
-            lambda x: jax.lax.psum(x, "shards"), js
+            psum_axis="shards",
         )
 
     return step(

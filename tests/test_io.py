@@ -44,13 +44,29 @@ def test_read_fasta_counts():
     assert len(read_sequences(f"{EXAMPLE}/D_paired_2.fasta")) == 53
 
 
-def test_read_dataset_cap_and_order():
-    files = [f"{EXAMPLE}/D_paired_1.fasta", f"{EXAMPLE}/D_paired_2.fasta"]
-    all_reads = read_dataset(files)
+def test_read_dataset_cap_per_group():
+    # one group of two concatenated files: cap spans both
+    one_group = [[f"{EXAMPLE}/D_paired_1.fasta", f"{EXAMPLE}/D_paired_2.fasta"]]
+    all_reads = read_dataset(one_group)
     assert len(all_reads) == 146
-    capped = read_dataset(files, max_reads=100)
-    assert len(capped) == 100
-    assert capped == all_reads[:100]  # bank-sequential order
+    # the first read of each file is "free" (uncounted by the
+    # reference iterator): 93 (D1, counter ends at 92) + 1 free +
+    # counters 93..99 -> 101 reads total
+    capped = read_dataset(one_group, max_reads=100)
+    assert len(capped) == 101
+    assert capped == all_reads[:101]
+
+    # two ';'-groups: the cap applies per group (reference
+    # SimkaInputIterator treats each paired group as its own dataset)
+    two_groups = [
+        [f"{EXAMPLE}/D_paired_1.fasta"],
+        [f"{EXAMPLE}/D_paired_2.fasta"],
+    ]
+    assert len(read_dataset(two_groups, max_reads=100)) == 146
+    assert len(read_dataset(two_groups, max_reads=50)) == 100
+    # flat list = single group
+    flat = [f"{EXAMPLE}/D_paired_1.fasta", f"{EXAMPLE}/D_paired_2.fasta"]
+    assert len(read_dataset(flat, max_reads=100)) == 101
 
 
 def test_encode_batch_padding():

@@ -34,7 +34,7 @@ def load_example():
         datasets = parse_input_file(EXAMPLE_INPUT)
         _seq_cache["d"] = (
             [d.id for d in datasets],
-            [read_dataset(d.files) for d in datasets],
+            [read_dataset(d.banks) for d in datasets],
         )
     return _seq_cache["d"]
 
