@@ -4,6 +4,10 @@ Measures the fused extract -> sort -> count -> join -> distance-stats
 path (the entirety of the reference's simkaCount+simkaMerge hot loops,
 SURVEY.md §3.2-3.3) on synthetic reads, steady-state.
 
+Timing note: on the axon TPU platform jax.block_until_ready does not
+reliably block, so every timed iteration fetches a scalar derived from
+the full output to host.
+
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline compares against CPU simka's order-of-magnitude throughput
 on a multicore node (~10M k-mers/s; the repo publishes no absolute
@@ -28,7 +32,7 @@ def main():
     k = 21
     n_banks = 8
     read_len = 128
-    n_reads = 1 << 15  # per sample
+    n_reads = 1 << 14  # per sample -> ~14M k-mer instances total
 
     rng = np.random.default_rng(0)
     codes = rng.integers(0, 4, size=(n_banks * n_reads, read_len)).astype(
@@ -40,9 +44,10 @@ def main():
     codes_d = jnp.asarray(codes)
     sid_d = jnp.asarray(sid)
 
+    @jax.jit
     def step(codes_d, sid_d):
         hi, lo, _ = extract_canonical_kmers(codes_d, k)
-        return count_join_stats(
+        js = count_join_stats(
             hi.ravel(),
             lo.ravel(),
             sid_d,
@@ -52,16 +57,21 @@ def main():
             simple=False,
             complex_=False,
         )
+        # a scalar touching every accumulator, fetched to host each
+        # iteration so the timing loop cannot run ahead of the device
+        return (
+            js.nb_distinct
+            + js.shared_distinct[0, 1]
+            + js.bray_numerator[0, 1]
+            + js.shared_kmers_ab[0, 1]
+        ).astype(jnp.float32)
 
-    step_jit = jax.jit(step)
-    out = step_jit(codes_d, sid_d)  # compile + warmup
-    jax.block_until_ready(out)
+    float(np.asarray(step(codes_d, sid_d)))  # compile + warmup
 
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = step_jit(codes_d, sid_d)
-    jax.block_until_ready(out)
+        float(np.asarray(step(codes_d, sid_d)))
     dt = (time.perf_counter() - t0) / iters
 
     n_kmers = n_banks * n_reads * (read_len - k + 1)

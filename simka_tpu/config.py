@@ -48,7 +48,6 @@ class SimkaConfig:
     # TPU-native knobs (no reference equivalent)
     n_shards: int = 0  # 0: use all local devices for k-mer-space sharding
     read_batch_size: int = 1 << 18  # reads per device batch
-    chunk_rows: int = 1 << 18  # entries per accumulation chunk
     n_policy: str = "skip"  # "skip": k-mers spanning non-ACGT are dropped
 
     def __post_init__(self):

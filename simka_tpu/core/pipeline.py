@@ -123,7 +123,6 @@ def compute_statistics(
             n_banks=len(dataset_ids),
             simple=config.simple_dist,
             complex_=config.complex_dist,
-            chunk_rows=config.chunk_rows,
         )
     else:
         # pad the instance stream to a stable size class so repeated
@@ -145,7 +144,6 @@ def compute_statistics(
             n_banks=len(dataset_ids),
             simple=config.simple_dist,
             complex_=config.complex_dist,
-            chunk_rows=config.chunk_rows,
         )
     return SimkaStatistics.from_join_stats(
         js,

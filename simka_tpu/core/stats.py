@@ -80,7 +80,57 @@ class SimkaStatistics:
         compute_simple: bool,
         compute_complex: bool,
     ) -> "SimkaStatistics":
-        """Build from a (device) JoinStats result."""
+        """Finalize a (device) JoinStats result into reference layout.
+
+        The device kernel returns upper-triangle PAIR sums
+        (ops/countjoin.py); here we symmetrize, fill diagonals, and add
+        the closed-form single-presence terms of the complex distances
+        (the reference's asymmetric zero-count branches,
+        SimkaAlgorithm.hpp:488-515):
+
+        - Whittaker: a k-mer present in i with count c but absent in j
+          contributes abs((int)(u64)(c*K_j - 0)) = c*K_j (assuming no
+          int32 wrap for single terms), so the pairwise total is
+          (K_i - sharedK[i][j]) * K_j + (K_j - sharedK[j][i]) * K_i.
+        - Kullback-Leibler: the zero-count branch collapses to
+          (c/K_i)*log(2) per k-mer, i.e.
+          log2 * ((K_i - sharedK[i][j])/K_i + (K_j - sharedK[j][i])/K_j).
+        """
+        n = len(dataset_ids)
+        solid = np.asarray(js.solid_per_bank, np.int64)
+        distinct = np.asarray(js.distinct_per_bank, np.int64)
+        ab = np.asarray(js.shared_kmers_ab, np.int64)
+        ba = np.asarray(js.shared_kmers_ba, np.int64)
+        shared_kmers = ab + ba.T + np.diag(solid)
+        sd = np.asarray(js.shared_distinct, np.int64)
+        shared_distinct = sd + sd.T + np.diag(distinct)
+        br = np.asarray(js.bray_numerator, np.int64)
+        bray = br + br.T + np.diag(solid)
+        ch = np.asarray(js.chord_ninj, np.float64)
+        chord = ch + ch.T
+        he = np.asarray(js.hellinger, np.int64)
+        hell = he + he.T
+
+        wh = np.asarray(js.whittaker, np.int64)
+        whitt = wh + wh.T
+        kl_p = np.asarray(js.kullback_leibler, np.float64)
+        kl = kl_p + kl_p.T
+        if compute_complex and n:
+            K_i = solid[:, None].astype(np.float64)
+            K_j = solid[None, :].astype(np.float64)
+            only_i = (solid[:, None] - shared_kmers).astype(np.float64)
+            only_j = (solid[None, :] - shared_kmers.T).astype(np.float64)
+            off = ~np.eye(n, dtype=bool)
+            whitt = whitt + np.where(
+                off, only_i * K_j + only_j * K_i, 0.0
+            ).astype(np.int64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                kl_single = np.log(2.0) * (
+                    np.where(K_i > 0, only_i / K_i, 0.0)
+                    + np.where(K_j > 0, only_j / K_j, 0.0)
+                )
+            kl = kl + np.where(off, kl_single, 0.0)
+
         return cls(
             dataset_ids=list(dataset_ids),
             kmer_size=kmer_size,
@@ -89,16 +139,16 @@ class SimkaStatistics:
             nb_distinct_kmers=int(js.nb_distinct),
             nb_shared_kmers=int(js.nb_shared),
             dataset_nb_reads=np.asarray(dataset_nb_reads, np.int64),
-            distinct_per_bank=np.asarray(js.distinct_per_bank, np.int64),
-            solid_per_bank=np.asarray(js.solid_per_bank, np.int64),
+            distinct_per_bank=distinct,
+            solid_per_bank=solid,
             chord_n2_per_bank=np.asarray(js.chord_n2_per_bank, np.int64),
-            shared_kmers=np.asarray(js.shared_kmers, np.int64),
-            shared_distinct=np.asarray(js.shared_distinct, np.int64),
-            bray_numerator=np.asarray(js.bray_numerator, np.int64),
-            chord_ninj=np.asarray(js.chord_ninj, np.float64),
-            hellinger=np.asarray(js.hellinger, np.int64),
-            whittaker=np.asarray(js.whittaker, np.int64),
-            kullback_leibler=np.asarray(js.kullback_leibler, np.float64),
+            shared_kmers=shared_kmers,
+            shared_distinct=shared_distinct,
+            bray_numerator=bray,
+            chord_ninj=chord,
+            hellinger=hell,
+            whittaker=whitt,
+            kullback_leibler=kl,
         )
 
     def __iadd__(self, other: "SimkaStatistics") -> "SimkaStatistics":

@@ -14,18 +14,32 @@ Design:
      time, MiniKC.hpp:56 -- order matters!) drops rows *before* the
      cross-sample join;
   3. a second sort over surviving rows groups equal k-mers across
-     samples -> the abundance-vector join;
-  4. chunked dense [R, n_banks] count blocks feed MXU matmuls
-     (C^T@P, P^T@P) and VPU pair reductions.
+     samples -> the abundance-vector join; rows within a k-mer are in
+     ascending sample order, so every co-present pair appears exactly
+     once as (a, b) with a < b at some fixed offset d;
+  4. pair statistics are accumulated SCATTER-FREE: for each offset
+     d in 1..max_multiplicity-1, neighbor rows d apart that share a
+     k-mer form pairs, and each value type is binned into the [N, N]
+     upper triangle by a panelled one-hot einsum on the MXU (measured
+     ~10x faster than XLA TPU scatter).
+
+Single-presence terms of the complex distances (the reference's
+asymmetric zero-count branches, SimkaAlgorithm.hpp:488-515) are NOT
+accumulated per k-mer: they collapse to closed forms over the global
+per-bank totals and the co-presence sums, applied at finalization
+(see SimkaStatistics.from_join_stats).
 
 Exactness: all reference accumulators are (surprisingly) exact integer
 sums -- even `_hellinger_SqrtNiNj` and `_canberra` truncate into
-u_int64_t on every += (SimkaDistance.hpp:105,111), so
-hellinger contributes floor(sqrt(Ni*Nj)) per k-mer and canberra
-degenerates to the closed form b+c (only the ratio==1.0 one-sided
-events survive truncation). We reproduce those semantics bit-exactly,
-which also makes every reduction order-independent -> deterministic
-across chip counts (the reference's §4 invariance test).
+u_int64_t on every += (SimkaDistance.hpp:105,111), so hellinger
+contributes floor(sqrt(Ni*Nj)) per k-mer and canberra degenerates to
+the closed form b+c. We reproduce those semantics bit-exactly through
+limb-split f32 einsums, which also makes every reduction
+order-independent -> deterministic across chip counts (the
+reference's §4 invariance test). Only chord_NiNj and the
+Kullback-Leibler pair sums are floating-point (double-float f32
+einsums, ~1e-7 relative), matching the reference's own use of long
+double there.
 """
 
 from __future__ import annotations
@@ -36,7 +50,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from simka_tpu.ops.intmatmul import exact_int_matmul
+from simka_tpu.ops.intmatmul import BLOCK_ROWS, binned_sum
 from simka_tpu.ops.kmers import SENTINEL
 
 LOG2 = 0.6931471805599453
@@ -45,9 +59,11 @@ LOG2 = 0.6931471805599453
 class JoinStats(NamedTuple):
     """Raw sufficient statistics, all order-independent reductions.
 
-    Fields mirror SimkaStatistics (src/core/SimkaDistance.hpp:68-139);
-    pairwise arrays are kept as full [N, N] matrices here and flattened
-    to the reference's symmetric layout only at output time.
+    Fields mirror SimkaStatistics (src/core/SimkaDistance.hpp:68-139).
+    Pairwise arrays hold UPPER-TRIANGLE pair sums here (plus the
+    asymmetric pair of shared_kmers_* matrices); symmetrization,
+    diagonal fill and the closed-form single-presence terms happen at
+    finalization.
     """
 
     nb_distinct: jnp.ndarray  # scalar: distinct k-mers in the union
@@ -55,102 +71,69 @@ class JoinStats(NamedTuple):
     distinct_per_bank: jnp.ndarray  # [N] i64 (_nbSolidDistinctKmersPerBank)
     solid_per_bank: jnp.ndarray  # [N] i64 (_nbSolidKmersPerBank)
     chord_n2_per_bank: jnp.ndarray  # [N] i64 (sum of count^2)
-    shared_kmers: jnp.ndarray  # [N, N] i64 (_matrixNbSharedKmers, asym)
-    shared_distinct: jnp.ndarray  # [N, N] i64 (sym; diag = distinct)
-    bray_numerator: jnp.ndarray  # [N, N] i64 sum min(Ni, Nj), sym
-    chord_ninj: jnp.ndarray  # [N, N] f64 sum Ni*Nj (simple)
-    hellinger: jnp.ndarray  # [N, N] i64 sum floor(sqrt(Ni*Nj)) (simple)
-    whittaker: jnp.ndarray  # [N, N] i64 int32-wrap emulated (complex)
-    kullback_leibler: jnp.ndarray  # [N, N] f64 (complex)
+    shared_kmers_ab: jnp.ndarray  # [N, N] i64 upper: sum C_a over pairs
+    shared_kmers_ba: jnp.ndarray  # [N, N] i64 upper: sum C_b over pairs
+    shared_distinct: jnp.ndarray  # [N, N] i64 upper: co-present count
+    bray_numerator: jnp.ndarray  # [N, N] i64 upper: sum min(Ca, Cb)
+    chord_ninj: jnp.ndarray  # [N, N] f64 upper: sum Ca*Cb (simple)
+    hellinger: jnp.ndarray  # [N, N] i64 upper: sum isqrt(Ca*Cb) (simple)
+    whittaker: jnp.ndarray  # [N, N] i64 upper, int32-wrap pair terms (complex)
+    kullback_leibler: jnp.ndarray  # [N, N] f64 upper pair terms (complex)
 
 
 def _suffix_min(x):
     return jnp.flip(jax.lax.cummin(jnp.flip(x)))
 
 
-def _pair_terms(
-    C, K, simple: bool, complex_: bool, sub_rows: int, vary_axes: tuple = ()
-):
-    """Elementwise per-pair reductions over one dense [R, N] chunk.
-
-    Returns dict of [N, N] accumulators. Upper-triangle semantics are
-    applied later; these matrices are computed densely (diag included,
-    excluded at finalize).
-    """
-    R, N = C.shape
-    n_sub = -(-R // sub_rows)
-    pad = n_sub * sub_rows - R
+def _panels(x, fill=0):
+    """[E] -> [nb, BLOCK_ROWS] zero-padded panels."""
+    E = x.shape[0]
+    nb = -(-E // BLOCK_ROWS)
+    pad = nb * BLOCK_ROWS - E
     if pad:
-        C = jnp.pad(C, ((0, pad), (0, 0)))
+        x = jnp.pad(x, (0, pad), constant_values=fill)
+    return x.reshape(nb, BLOCK_ROWS)
 
-    def body(s, acc):
-        Cs = jax.lax.dynamic_slice_in_dim(C, s * sub_rows, sub_rows, axis=0)
-        Ci = Cs[:, :, None].astype(jnp.int64)  # [r, N, 1]
-        Cj = Cs[:, None, :].astype(jnp.int64)  # [r, 1, N]
-        both = (Ci > 0) & (Cj > 0)
 
-        out = dict(acc)
-        mins = jnp.minimum(Ci, Cj)
-        out["bray"] = acc["bray"] + jnp.sum(mins, axis=0)
+def _pair_bin_int(oh_a, oh_b, values, bits: int):
+    """Exact [N, N] integer pair binning via limb-split f32 einsums.
 
-        if simple:
-            prod = (Ci * Cj).astype(jnp.float64)
-            # floor() matches the reference's per-step truncation of
-            # sqrt(double) into u_int64_t (SimkaAlgorithm.hpp:397).
-            hell = jnp.floor(jnp.sqrt(prod)).astype(jnp.int64)
-            out["hellinger"] = acc["hellinger"] + jnp.sum(
-                jnp.where(both, hell, 0), axis=0
-            )
+    oh_a/oh_b: [nb, B, N] f32 one-hots; values: [nb, B] int64 >= 0,
+    < 2**bits. Returns [N, N] int64 with
+    out[i][j] = sum over rows of value * oh_a[i] * oh_b[j].
+    """
+    la = 11
+    n_l = max(1, -(-bits // la))
+    out = None
+    for i in range(n_l):
+        limb = ((values >> (la * i)) & ((1 << la) - 1)).astype(jnp.float32)
+        part = jnp.einsum(
+            "bri,brj->bij",
+            oh_a * limb[..., None],
+            oh_b,
+            preferred_element_type=jnp.float32,
+        )
+        term = part.astype(jnp.int64).sum(axis=0) << (la * i)
+        out = term if out is None else out + term
+    return out
 
-        if complex_:
-            union = (Ci > 0) | (Cj > 0)
-            Ki = K[None, :, None].astype(jnp.float64)
-            Kj = K[None, None, :].astype(jnp.float64)
-            Cif = Ci.astype(jnp.float64)
-            Cjf = Cj.astype(jnp.float64)
 
-            # Whittaker: the reference computes
-            # abs((int)((u64)(Ni*Kj) - (u64)(Nj*Ki)))
-            # (SimkaAlgorithm.hpp:481) -- i.e. the difference wraps to
-            # 32-bit signed. Emulate via low-32-bit arithmetic on the
-            # rounded double products.
-            p1 = jnp.mod(Cif * Kj, 2.0**32)
-            p2 = jnp.mod(Cjf * Ki, 2.0**32)
-            low = jnp.mod(p1 - p2, 2.0**32).astype(jnp.int64)
-            wrapped = jnp.where(low >= 2**31, low - 2**32, low)
-            out["whittaker"] = acc["whittaker"] + jnp.sum(
-                jnp.where(union, jnp.abs(wrapped), 0), axis=0
-            )
-
-            # Jensen-Shannon sufficient sum (SimkaAlgorithm.hpp:437-506):
-            # xY = Ni*Kj, yX = Nj*Ki;
-            # d1 = (Ni/Ki) * log(2*xY / (xY + yX)) when Ni > 0
-            # d2 = (Nj/Kj) * log(2*yX / (xY + yX)) when Nj > 0
-            # (single-presence collapses to (N/K)*log 2).
-            xY = Cif * Kj
-            yX = Cjf * Ki
-            denom = xY + yX
-            safe = jnp.where(union, denom, 1.0)
-            d1 = jnp.where(
-                Ci > 0, (Cif / Ki) * jnp.log(2.0 * xY / safe), 0.0
-            )
-            d2 = jnp.where(
-                Cj > 0, (Cjf / Kj) * jnp.log(2.0 * yX / safe), 0.0
-            )
-            out["kl"] = acc["kl"] + jnp.sum(
-                jnp.where(union, d1 + d2, 0.0), axis=0
-            )
-        return out
-
-    acc = {
-        "bray": jnp.zeros((N, N), jnp.int64),
-        "hellinger": jnp.zeros((N, N), jnp.int64),
-        "whittaker": jnp.zeros((N, N), jnp.int64),
-        "kl": jnp.zeros((N, N), jnp.float64),
-    }
-    if vary_axes:
-        acc = jax.tree.map(lambda x: jax.lax.pvary(x, vary_axes), acc)
-    return jax.lax.fori_loop(0, n_sub, body, acc)
+def _pair_bin_float(oh_a, oh_b, values_f64):
+    """[N, N] f64 pair binning via double-float (hi+lo) f32 einsums."""
+    v_hi = values_f64.astype(jnp.float32)
+    v_lo = (values_f64 - v_hi.astype(jnp.float64)).astype(jnp.float32)
+    out = jnp.zeros(
+        (oh_a.shape[-1], oh_b.shape[-1]), jnp.float64
+    )
+    for v in (v_hi, v_lo):
+        part = jnp.einsum(
+            "bri,brj->bij",
+            oh_a * v[..., None],
+            oh_b,
+            preferred_element_type=jnp.float32,
+        )
+        out = out + part.astype(jnp.float64).sum(axis=0)
+    return out
 
 
 @functools.partial(
@@ -159,8 +142,7 @@ def _pair_terms(
         "n_banks",
         "simple",
         "complex_",
-        "chunk_rows",
-        "sub_rows",
+        "count_bits",
         "vary_axes",
         "psum_axis",
     ),
@@ -175,8 +157,7 @@ def count_join_stats(
     n_banks: int,
     simple: bool = False,
     complex_: bool = False,
-    chunk_rows: int = 1 << 18,
-    sub_rows: int = 0,
+    count_bits: int = 32,
     vary_axes: tuple = (),
     psum_axis: str = "",
 ) -> JoinStats:
@@ -188,13 +169,17 @@ def count_join_stats(
       abundance_min/max: per-sample solidity bounds (traced scalars;
         reference filter at MiniKC.hpp:56: keep amin <= c <= amax).
       n_banks: number of samples N (static).
+      count_bits: static bound on per-sample counts (drives the limb
+        count of the exact integer einsums; the returned stats are
+        wrong if a count exceeds 2**count_bits -- callers can check
+        solid_per_bank totals or simply leave the 32-bit default).
+      vary_axes/psum_axis: set when running under shard_map over
+        disjoint k-mer hash shards; per-bank totals are made global
+        before the pair terms consume them and every output is
+        psum-reduced.
     """
     E = hi.shape[0]
-    if chunk_rows <= n_banks:
-        raise ValueError("chunk_rows must exceed n_banks")
-    if not sub_rows:
-        # bound the [sub, N, N] pair-broadcast to ~4M elements
-        sub_rows = max(256, min(chunk_rows, (1 << 22) // (n_banks * n_banks)))
+    N = n_banks
     idx = jnp.arange(E, dtype=jnp.int32)
 
     # ---- pass 1: group (kmer, sample) -> per-sample counts ----
@@ -219,16 +204,16 @@ def count_join_stats(
     )
 
     count64 = count.astype(jnp.int64)
-    sid_clip = jnp.where(kept, sid, n_banks)
-    distinct_per_bank = jax.ops.segment_sum(
-        jnp.where(kept, 1, 0).astype(jnp.int64), sid_clip, n_banks + 1
-    )[:n_banks]
-    solid_per_bank = jax.ops.segment_sum(
-        jnp.where(kept, count64, 0), sid_clip, n_banks + 1
-    )[:n_banks]
-    chord_n2_per_bank = jax.ops.segment_sum(
-        jnp.where(kept, count64 * count64, 0), sid_clip, n_banks + 1
-    )[:n_banks]
+    sid_clip = jnp.where(kept, sid, N)
+    distinct_per_bank = binned_sum(
+        jnp.where(kept, 1, 0).astype(jnp.int64), sid_clip, N, bits=33
+    )
+    solid_per_bank = binned_sum(
+        jnp.where(kept, count64, 0), sid_clip, N, bits=44
+    )
+    chord_n2_per_bank = binned_sum(
+        jnp.where(kept, count64 * count64, 0), sid_clip, N, bits=63
+    )
 
     if psum_axis:
         # running under shard_map over disjoint k-mer hash ranges:
@@ -257,79 +242,112 @@ def count_join_stats(
     seg_e = jnp.where(kept2, seg, E)
     n_distinct = jnp.max(jnp.where(kept2, seg, -1)) + 1
 
-    seg_len = jax.ops.segment_sum(
-        kept2.astype(jnp.int32), jnp.where(kept2, seg, 0), E
+    # per-segment multiplicity by run-length (no scatter)
+    seg_starts_after = jnp.concatenate(
+        [jnp.where(newk, idx, E)[1:], jnp.array([E], jnp.int32)]
     )
-    # segment 0 may have absorbed masked rows' zeros only; lengths are
-    # exact because masked rows contribute 0.
-    n_shared = jnp.sum(seg_len >= 2)
+    seg_next = _suffix_min(seg_starts_after)
+    n_valid = jnp.sum(kept2.astype(jnp.int32))
+    seg_len = jnp.minimum(seg_next, n_valid) - idx  # valid at newk rows
+    d_max = jnp.max(jnp.where(newk, seg_len, 0))
+    n_shared = jnp.sum(newk & (seg_len >= 2))
 
-    # ---- pass 3: entry-chunked dense accumulation ----
-    # Chunks cover a fixed number of ENTRIES (not segments), truncated
-    # to whole segments: the boundary segment (possibly split by the
-    # window edge) is deferred to the next chunk. Each segment has
-    # <= n_banks entries, so every chunk advances by at least
-    # chunk_rows - n_banks entries; with chunk_rows >> n_banks the
-    # number of sequential loop steps is ~E/chunk_rows.
-    S = chunk_rows
-    n_kept = jnp.sum(kept2).astype(jnp.int32)
-    padk = jnp.full((S + 1,), E, jnp.int32)
-    seg_p = jnp.concatenate([seg_e, padk])
-    sid_p = jnp.concatenate([sid2, jnp.zeros((S + 1,), sid2.dtype)])
-    cnt_p = jnp.concatenate([cnt2, jnp.zeros((S + 1,), cnt2.dtype)])
+    # ---- pass 3: shift-pair accumulation ----
+    # pad so a dynamic_slice at offset d (< N) never reads OOB
+    padlen = N + 1
+    seg_p = jnp.concatenate([seg_e, jnp.full((padlen,), E, jnp.int32)])
+    sid_p = jnp.concatenate([sid2, jnp.zeros((padlen,), sid2.dtype)])
+    cnt_p = jnp.concatenate([cnt2, jnp.zeros((padlen,), cnt2.dtype)])
+    kept_p = jnp.concatenate(
+        [kept2, jnp.zeros((padlen,), jnp.bool_)]
+    )
 
-    N = n_banks
+    oh_a = (
+        _panels(jnp.where(kept2, sid2, N))[..., None]
+        == jnp.arange(N, dtype=jnp.int32)[None, None, :]
+    ).astype(jnp.float32)
+    bank_range = jnp.arange(N, dtype=jnp.int32)[None, None, :]
+    K = solid_per_bank  # global totals
 
-    def chunk_body(state):
-        start, acc = state
-        base = jax.lax.dynamic_index_in_dim(
-            seg_p, start, keepdims=False
-        )
-        # first segment NOT fully inside the window
-        bound = jax.lax.dynamic_index_in_dim(
-            seg_p, start + S, keepdims=False
-        )
-        e_seg = jax.lax.dynamic_slice_in_dim(seg_p, start, S)
-        e_sid = jax.lax.dynamic_slice_in_dim(sid_p, start, S)
-        e_cnt = jax.lax.dynamic_slice_in_dim(cnt_p, start, S)
-        in_rng = (e_seg >= base) & (e_seg < bound)
-        row = jnp.where(in_rng, e_seg - base, 0)
-        col = jnp.where(in_rng, e_sid, 0)
-        C = jnp.zeros((S, N), jnp.int32).at[row, col].add(
-            jnp.where(in_rng, e_cnt, 0)
-        )
-        P = (C > 0).astype(jnp.int32)
+    def shift_body(d, acc):
+        seg_b = jax.lax.dynamic_slice_in_dim(seg_p, d, E)
+        sid_b = jax.lax.dynamic_slice_in_dim(sid_p, d, E)
+        cnt_b = jax.lax.dynamic_slice_in_dim(cnt_p, d, E)
+        kept_b = jax.lax.dynamic_slice_in_dim(kept_p, d, E)
+        m = kept2 & kept_b & (seg_e == seg_b)
 
-        acc = dict(acc)
-        acc["shared_kmers"] = acc["shared_kmers"] + exact_int_matmul(
-            C, P, a_bits=32, b_bits=1
+        va = jnp.where(m, cnt2, 0).astype(jnp.int64)
+        vb = jnp.where(m, cnt_b, 0).astype(jnp.int64)
+        va_p = _panels(va)
+        vb_p = _panels(vb)
+        oh_b = (
+            _panels(jnp.where(m, sid_b, N))[..., None] == bank_range
+        ).astype(jnp.float32)
+
+        out = dict(acc)
+        out["shared_kmers_ab"] = acc["shared_kmers_ab"] + _pair_bin_int(
+            oh_a, oh_b, va_p, count_bits
         )
-        acc["shared_distinct"] = acc["shared_distinct"] + exact_int_matmul(
-            P, P, a_bits=1, b_bits=1
+        out["shared_kmers_ba"] = acc["shared_kmers_ba"] + _pair_bin_int(
+            oh_a, oh_b, vb_p, count_bits
+        )
+        out["shared_distinct"] = acc["shared_distinct"] + _pair_bin_int(
+            oh_a, oh_b, _panels(m.astype(jnp.int64)), 1
+        )
+        out["bray"] = acc["bray"] + _pair_bin_int(
+            oh_a, oh_b, jnp.minimum(va_p, vb_p), count_bits
         )
         if simple:
-            acc["chord"] = acc["chord"] + jnp.einsum(
-                "ri,rj->ij",
-                C.astype(jnp.float64),
-                C.astype(jnp.float64),
+            prod = (va_p * vb_p).astype(jnp.float64)
+            out["hellinger"] = acc["hellinger"] + _pair_bin_int(
+                oh_a,
+                oh_b,
+                jnp.floor(jnp.sqrt(prod)).astype(jnp.int64),
+                1 + count_bits,  # isqrt of a 2*count_bits product
             )
-        pt = _pair_terms(
-            C, solid_per_bank, simple, complex_, sub_rows, vary_axes
-        )
-        acc["bray"] = acc["bray"] + pt["bray"]
-        acc["hellinger"] = acc["hellinger"] + pt["hellinger"]
-        acc["whittaker"] = acc["whittaker"] + pt["whittaker"]
-        acc["kl"] = acc["kl"] + pt["kl"]
+            out["chord"] = acc["chord"] + _pair_bin_float(
+                oh_a, oh_b, prod
+            )
+        if complex_:
+            # Whittaker pair term: the reference computes
+            # abs((int)((u64)(Ca*Kb) - (u64)(Cb*Ka)))
+            # (SimkaAlgorithm.hpp:481) -- the difference wraps to
+            # 32-bit signed. Emulate on the rounded double products.
+            Ka = K[sid2].astype(jnp.float64)
+            Kb = K[jnp.clip(sid_b, 0, N - 1)].astype(jnp.float64)
+            p1 = jnp.mod(cnt2.astype(jnp.float64) * Kb, 2.0**32)
+            p2 = jnp.mod(cnt_b.astype(jnp.float64) * Ka, 2.0**32)
+            low = jnp.mod(p1 - p2, 2.0**32).astype(jnp.int64)
+            wrapped = jnp.where(low >= 2**31, low - 2**32, low)
+            wval = jnp.where(m, jnp.abs(wrapped), 0)
+            out["whittaker"] = acc["whittaker"] + _pair_bin_int(
+                oh_a, oh_b, _panels(wval), 32
+            )
 
-        next_start = jnp.searchsorted(seg_e, bound).astype(jnp.int32)
-        return next_start, acc
-
-    def chunk_cond(state):
-        start, _ = state
-        return start < n_kept
+            # Kullback-Leibler pair term (both present,
+            # SimkaAlgorithm.hpp:437-446):
+            # xY = Ca*Kb, yX = Cb*Ka
+            # d1 = (Ca/Ka) * log(2*xY/(xY+yX))
+            # d2 = (Cb/Kb) * log(2*yX/(xY+yX))
+            caf = cnt2.astype(jnp.float64)
+            cbf = cnt_b.astype(jnp.float64)
+            xY = caf * Kb
+            yX = cbf * Ka
+            den = jnp.where(m, xY + yX, 1.0)
+            d1 = (caf / jnp.maximum(Ka, 1.0)) * jnp.log(
+                jnp.where(m, 2.0 * xY / den, 1.0)
+            )
+            d2 = (cbf / jnp.maximum(Kb, 1.0)) * jnp.log(
+                jnp.where(m, 2.0 * yX / den, 1.0)
+            )
+            out["kl"] = acc["kl"] + _pair_bin_float(
+                oh_a, oh_b, _panels(jnp.where(m, d1 + d2, 0.0))
+            )
+        return out
 
     acc0 = {
-        "shared_kmers": jnp.zeros((N, N), jnp.int64),
+        "shared_kmers_ab": jnp.zeros((N, N), jnp.int64),
+        "shared_kmers_ba": jnp.zeros((N, N), jnp.int64),
         "shared_distinct": jnp.zeros((N, N), jnp.int64),
         "bray": jnp.zeros((N, N), jnp.int64),
         "chord": jnp.zeros((N, N), jnp.float64),
@@ -343,10 +361,7 @@ def count_join_stats(
         acc0 = jax.tree.map(
             lambda x: jax.lax.pvary(x, vary_axes), acc0
         )
-    start0 = jnp.int32(0)
-    if vary_axes:
-        start0 = jax.lax.pvary(start0, vary_axes)
-    _, acc = jax.lax.while_loop(chunk_cond, chunk_body, (start0, acc0))
+    acc = jax.lax.fori_loop(1, d_max, shift_body, acc0)
 
     out = JoinStats(
         nb_distinct=n_distinct.astype(jnp.int64),
@@ -354,7 +369,8 @@ def count_join_stats(
         distinct_per_bank=distinct_per_bank,
         solid_per_bank=solid_per_bank,
         chord_n2_per_bank=chord_n2_per_bank,
-        shared_kmers=acc["shared_kmers"],
+        shared_kmers_ab=acc["shared_kmers_ab"],
+        shared_kmers_ba=acc["shared_kmers_ba"],
         shared_distinct=acc["shared_distinct"],
         bray_numerator=acc["bray"],
         chord_ninj=acc["chord"],
@@ -368,7 +384,8 @@ def count_join_stats(
         out = out._replace(
             nb_distinct=jax.lax.psum(out.nb_distinct, psum_axis),
             nb_shared=jax.lax.psum(out.nb_shared, psum_axis),
-            shared_kmers=jax.lax.psum(out.shared_kmers, psum_axis),
+            shared_kmers_ab=jax.lax.psum(out.shared_kmers_ab, psum_axis),
+            shared_kmers_ba=jax.lax.psum(out.shared_kmers_ba, psum_axis),
             shared_distinct=jax.lax.psum(out.shared_distinct, psum_axis),
             bray_numerator=jax.lax.psum(out.bray_numerator, psum_axis),
             chord_ninj=jax.lax.psum(out.chord_ninj, psum_axis),

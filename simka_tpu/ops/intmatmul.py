@@ -20,6 +20,43 @@ import jax.numpy as jnp
 BLOCK_ROWS = 8192  # panel height; 24 - log2(8192) = 11 bits of budget
 
 
+def binned_sum(values, bins, n_bins: int, bits: int = 33):
+    """Exact per-bin sums of non-negative int64 values, scatter-free.
+
+    Equivalent to segment_sum(values, bins, n_bins) but computed as
+    limb-split one-hot matmuls (XLA TPU scatter is ~10x slower than a
+    panelled einsum; measured in round-1 profiling).
+
+    Args:
+      values: [R] int64, values < 2**bits.
+      bins: [R] int32 in [0, n_bins); out-of-range bins are DROPPED
+        (callers pass n_bins for masked rows, mirroring segment_sum
+        with num_segments=n_bins).
+    """
+    R = values.shape[0]
+    nb = -(-R // BLOCK_ROWS)
+    pad = nb * BLOCK_ROWS - R
+    if pad:
+        values = jnp.pad(values, (0, pad))
+        bins = jnp.pad(bins, (0, pad), constant_values=n_bins)
+    v3 = values.reshape(nb, BLOCK_ROWS)
+    onehot = (
+        bins.reshape(nb, BLOCK_ROWS)[..., None]
+        == jnp.arange(n_bins, dtype=jnp.int32)[None, None, :]
+    ).astype(jnp.float32)
+
+    la = 11  # BLOCK_ROWS * (2^11 - 1) < 2^24: exact in f32
+    n_l = -(-bits // la)
+    out = jnp.zeros((n_bins,), jnp.int64)
+    for i in range(n_l):
+        limb = ((v3 >> (la * i)) & ((1 << la) - 1)).astype(jnp.float32)
+        part = jnp.einsum(
+            "br,brn->bn", limb, onehot, preferred_element_type=jnp.float32
+        )
+        out = out + (part.astype(jnp.int64).sum(axis=0) << (la * i))
+    return out
+
+
 def _split_limbs(x, limb_bits: int, n_limbs: int):
     x = x.astype(jnp.int64)
     mask = (1 << limb_bits) - 1

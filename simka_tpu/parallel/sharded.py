@@ -103,8 +103,6 @@ def sharded_count_join_stats(
     n_banks: int,
     simple: bool = False,
     complex_: bool = False,
-    chunk_rows: int = 4096,
-    sub_rows: int = 0,
 ) -> JoinStats:
     """Run the fused count/join on every shard and psum-reduce.
 
@@ -117,7 +115,7 @@ def sharded_count_join_stats(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P("shards"), P("shards"), P("shards"), P(), P()),
-        out_specs=jax.tree.map(lambda _: P(), JoinStats(*[0] * 12)),
+        out_specs=jax.tree.map(lambda _: P(), JoinStats(*[0] * len(JoinStats._fields))),
     )
     def step(hi, lo, sid, amin, amax):
         # psum_axis makes the per-bank totals global BEFORE the pair
@@ -131,8 +129,6 @@ def sharded_count_join_stats(
             n_banks=n_banks,
             simple=simple,
             complex_=complex_,
-            chunk_rows=chunk_rows,
-            sub_rows=sub_rows,
             vary_axes=("shards",),
             psum_axis="shards",
         )

@@ -44,14 +44,12 @@ def test_shard_invariance(n_shards):
     js1 = count_join_stats(
         hi, lo, sid, np.int32(2), np.int64(10**9),
         n_banks=n_banks, simple=True, complex_=True,
-        chunk_rows=1024, sub_rows=256,
     )
     mesh = make_mesh(n_shards)
     hs, ls, ss = shard_instances_by_hash(hi, lo, sid, n_shards)
     jsN = sharded_count_join_stats(
         hs, ls, ss, 2, 10**9,
         mesh=mesh, n_banks=n_banks, simple=True, complex_=True,
-        chunk_rows=1024, sub_rows=256,
     )
     for name in js1._fields:
         a = np.asarray(getattr(js1, name))
@@ -78,8 +76,7 @@ def test_shard_invariance_matrices_bitexact():
         js = sharded_count_join_stats(
             hs, ls, ss, 1, 10**9,
             mesh=mesh, n_banks=n_banks, simple=True, complex_=True,
-            chunk_rows=1024, sub_rows=256,
-        )
+            )
         stats = SimkaStatistics.from_join_stats(
             js, ids, 21, np.ones(n_banks, np.int64), True, True
         )
