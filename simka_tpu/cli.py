@@ -40,6 +40,7 @@ def build_simka_parser() -> argparse.ArgumentParser:
     p.add_argument("-max-memory", type=int, default=5000, help="accepted for compatibility (MB)")
     p.add_argument("-verbose", type=int, default=1, help="verbosity")
     p.add_argument("-n-shards", type=int, default=0, help="k-mer-space shards (0 = all local devices)")
+    p.add_argument("-data-info", action="store_true", help="compute (and display) input information only")
     return p
 
 
@@ -64,6 +65,12 @@ def simka_main(argv) -> int:
         verbose=bool(args.verbose),
         n_shards=args.n_shards,
     )
+    if args.data_info:
+        from simka_tpu.core.pipeline import run_data_info
+
+        run_data_info(config)
+        return 0
+
     from simka_tpu.core.pipeline import run_simka
 
     run_simka(config)

@@ -51,10 +51,11 @@ class SimkaConfig:
     n_policy: str = "skip"  # "skip": k-mers spanning non-ACGT are dropped
 
     def __post_init__(self):
-        if self.kmer_size < 1 or self.kmer_size > 31:
+        if self.kmer_size < 1 or self.kmer_size > 63:
             raise ValueError(
-                f"kmer_size must be in [1, 31] (got {self.kmer_size}); "
-                "wider spans land with the multi-word kmer type"
+                f"kmer_size must be in [1, 63] (got {self.kmer_size}); "
+                "this matches the reference's compiled spans "
+                "(gatb-core-klist 32..128, CMakeLists.txt:66)"
             )
         if not (0.0 <= self.min_read_shannon_index <= 2.0):
             # the reference clamps to [0, 2] (SimkaAlgorithm.cpp:185-197)

@@ -22,7 +22,10 @@ from simka_tpu.core.stats import SimkaStatistics
 from simka_tpu.io.bank import encode_batch, read_dataset
 from simka_tpu.io.dsl import Dataset, check_input_validity, parse_input_file
 from simka_tpu.ops.countjoin import count_join_stats
-from simka_tpu.ops.kmers import extract_canonical_kmers
+from simka_tpu.ops.kmers import (
+    extract_canonical_kmers,
+    extract_canonical_kmers_multi,
+)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -45,14 +48,16 @@ def resolve_max_reads(read_counts: Sequence[int], max_reads: int) -> int:
 
 def extract_dataset_kmers(
     seqs: List[bytes], k: int, batch_reads: int = 1 << 15
-) -> Tuple[np.ndarray, np.ndarray, int]:
+) -> Tuple[Tuple[np.ndarray, ...], int]:
     """Encode + extract canonical k-mers for one sample.
 
-    Returns (hi, lo) uint32 arrays of ALL window positions (invalid
-    ones hold SENTINEL) plus the read count. Batches are padded to
-    stable shape classes to bound recompilation.
+    Returns (words, n_reads): a tuple of big-endian uint32 word arrays
+    covering ALL window positions (invalid ones hold SENTINEL in every
+    word). Two words for k <= 31; more via the multi-word extractor
+    for larger k (reference spans 32..128, CMakeLists.txt:66). Batches
+    are padded to stable shape classes to bound recompilation.
     """
-    his, los = [], []
+    parts: List[List[np.ndarray]] = []
     for start in range(0, len(seqs), batch_reads):
         chunk = seqs[start : start + batch_reads]
         max_len = max((len(s) for s in chunk), default=k)
@@ -63,16 +68,21 @@ def extract_dataset_kmers(
             codes = np.concatenate(
                 [codes, np.full((pad_b, width), 255, np.uint8)]
             )
-        hi, lo, _ = extract_canonical_kmers(jnp.asarray(codes), k)
-        his.append(np.asarray(hi).ravel())
-        los.append(np.asarray(lo).ravel())
-    if not his:
-        return (
-            np.empty(0, np.uint32),
-            np.empty(0, np.uint32),
-            0,
-        )
-    return np.concatenate(his), np.concatenate(los), len(seqs)
+        if k <= 31:
+            hi, lo, _ = extract_canonical_kmers(jnp.asarray(codes), k)
+            batch_words = (hi, lo)
+        else:
+            batch_words, _ = extract_canonical_kmers_multi(
+                jnp.asarray(codes), k
+            )
+        if not parts:
+            parts = [[] for _ in batch_words]
+        for i, w in enumerate(batch_words):
+            parts[i].append(np.asarray(w).ravel())
+    if not parts:
+        nw = 2 if k <= 31 else len(parts)
+        return tuple(np.empty(0, np.uint32) for _ in range(max(nw, 2))), 0
+    return tuple(np.concatenate(p) for p in parts), len(seqs)
 
 
 def compute_statistics(
@@ -90,17 +100,19 @@ def compute_statistics(
     import jax
 
     k = config.kmer_size
-    his, los, sids = [], [], []
+    word_parts: List[List[np.ndarray]] = []
+    sids = []
     nb_reads = []
     for s, seqs in enumerate(dataset_seqs):
-        hi, lo, n = extract_dataset_kmers(seqs, k)
-        his.append(hi)
-        los.append(lo)
-        sids.append(np.full(hi.shape, s, np.int32))
+        words, n = extract_dataset_kmers(seqs, k)
+        if not word_parts:
+            word_parts = [[] for _ in words]
+        for i, w in enumerate(words):
+            word_parts[i].append(w)
+        sids.append(np.full(words[0].shape, s, np.int32))
         nb_reads.append(n)
 
-    hi = np.concatenate(his) if his else np.empty(0, np.uint32)
-    lo = np.concatenate(los) if los else np.empty(0, np.uint32)
+    words = tuple(np.concatenate(p) for p in word_parts)
     sid = np.concatenate(sids) if sids else np.empty(0, np.int32)
 
     n_shards = config.n_shards or len(jax.devices())
@@ -112,11 +124,10 @@ def compute_statistics(
         )
 
         mesh = make_mesh(n_shards)
-        hs, ls, ss = shard_instances_by_hash(hi, lo, sid, n_shards)
+        words_sh, sid_sh = shard_instances_by_hash(words, sid, n_shards)
         js = sharded_count_join_stats(
-            hs,
-            ls,
-            ss,
+            words_sh,
+            sid_sh,
             config.abundance_min,
             config.abundance_max,
             mesh=mesh,
@@ -127,17 +138,21 @@ def compute_statistics(
     else:
         # pad the instance stream to a stable size class so repeated
         # runs reuse the compiled program
-        E = max(len(hi), 1)
+        E = max(len(words[0]), 1)
         target = 1 << max(10, (E - 1).bit_length())
-        pad = target - len(hi)
+        pad = target - len(words[0])
         if pad:
-            hi = np.concatenate([hi, np.full(pad, 0xFFFFFFFF, np.uint32)])
-            lo = np.concatenate([lo, np.full(pad, 0xFFFFFFFF, np.uint32)])
+            words = tuple(
+                np.concatenate(
+                    [w, np.full(pad, 0xFFFFFFFF, np.uint32)]
+                )
+                for w in words
+            )
             sid = np.concatenate([sid, np.zeros(pad, np.int32)])
 
         js = count_join_stats(
-            jnp.asarray(hi),
-            jnp.asarray(lo),
+            tuple(jnp.asarray(w) for w in words[:-1]),
+            jnp.asarray(words[-1]),
             jnp.asarray(sid),
             jnp.int32(config.abundance_min),
             jnp.int64(config.abundance_max),
@@ -155,8 +170,102 @@ def compute_statistics(
     )
 
 
+def compute_statistics_from_spectra(
+    spectra,
+    dataset_ids: List[str],
+    nb_reads: List[int],
+    config: SimkaConfig,
+) -> SimkaStatistics:
+    """Statistics from per-dataset counted spectra (checkpoint path).
+
+    ``spectra[s]`` = (words tuple, counts) for sample s.
+    """
+    import jax
+
+    word_parts: List[List[np.ndarray]] = []
+    sids, cnts = [], []
+    for s, (words, counts) in enumerate(spectra):
+        if not word_parts:
+            word_parts = [[] for _ in words]
+        for i, w in enumerate(words):
+            word_parts[i].append(w)
+        sids.append(np.full(words[0].shape, s, np.int32))
+        cnts.append(counts.astype(np.int32))
+    words = tuple(np.concatenate(p) for p in word_parts)
+    sid = np.concatenate(sids)
+    counts = np.concatenate(cnts)
+
+    n_shards = config.n_shards or len(jax.devices())
+    if n_shards > 1 and len(jax.devices()) >= n_shards:
+        from simka_tpu.parallel.sharded import (
+            make_mesh,
+            shard_rows_by_hash,
+            sharded_join_from_spectra,
+        )
+
+        mesh = make_mesh(n_shards)
+        ws, ss, cs = shard_rows_by_hash(words, sid, counts, n_shards)
+        js = sharded_join_from_spectra(
+            ws,
+            ss,
+            cs,
+            config.abundance_min,
+            config.abundance_max,
+            mesh=mesh,
+            n_banks=len(dataset_ids),
+            simple=config.simple_dist,
+            complex_=config.complex_dist,
+        )
+    else:
+        from simka_tpu.ops.countjoin import join_stats_from_spectra
+
+        E = max(len(words[0]), 1)
+        target = 1 << max(10, (E - 1).bit_length())
+        pad = target - len(words[0])
+        if pad:
+            words = tuple(
+                np.concatenate([w, np.full(pad, 0xFFFFFFFF, np.uint32)])
+                for w in words
+            )
+            sid = np.concatenate([sid, np.zeros(pad, np.int32)])
+            counts = np.concatenate([counts, np.zeros(pad, np.int32)])
+        js = join_stats_from_spectra(
+            tuple(jnp.asarray(w) for w in words),
+            jnp.asarray(sid),
+            jnp.asarray(counts),
+            jnp.int32(config.abundance_min),
+            jnp.int64(config.abundance_max),
+            n_banks=len(dataset_ids),
+            simple=config.simple_dist,
+            complex_=config.complex_dist,
+        )
+    return SimkaStatistics.from_join_stats(
+        js,
+        dataset_ids,
+        config.kmer_size,
+        np.asarray(nb_reads, np.int64),
+        config.simple_dist,
+        config.complex_dist,
+    )
+
+
+def count_dataset_spectrum(seqs: List[bytes], k: int):
+    """Count phase for one sample: extract + device sort/run-length."""
+    from simka_tpu.ops.spectrum import count_spectrum
+
+    words, n = extract_dataset_kmers(seqs, k)
+    uw, counts = count_spectrum(*words)
+    return uw, counts, n
+
+
 def run_simka(config: SimkaConfig) -> Dict[str, np.ndarray]:
-    """The `simka` tool: input file -> distance matrices on disk."""
+    """The `simka` tool: input file -> distance matrices on disk.
+
+    With ``output_tmp_dir`` set, per-dataset counted spectra are
+    checkpointed there and reused on resume (the reference's
+    sentinel-file system, SimkaPotara.hpp:838-842); ``keep_tmp``
+    preserves them so later runs can add datasets without recounting.
+    """
     t0 = time.time()
     datasets = parse_input_file(config.input_filename)
     check_input_validity(datasets)
@@ -181,27 +290,107 @@ def run_simka(config: SimkaConfig) -> Dict[str, np.ndarray]:
     else:
         cap = resolve_max_reads([], config.max_reads)
 
-    dataset_seqs = [
-        read_dataset(
-            d.banks,
-            config.min_read_size,
-            config.min_read_shannon_index,
-            max_reads=cap,
-        )
-        for d in datasets
-    ]
-    if config.verbose:
-        total = sum(len(s) for s in dataset_seqs)
-        print(f"[simka-tpu] {len(ids)} datasets, {total} reads")
+    def log(msg):
+        if config.verbose:
+            print(f"[simka-tpu] {msg}", flush=True)
 
-    stats = compute_statistics(dataset_seqs, ids, config)
+    if config.output_tmp_dir:
+        from simka_tpu.core.checkpoint import CountCheckpoint, count_key
+
+        ckpt = CountCheckpoint(config.output_tmp_dir)
+        spectra, nb_reads = [], []
+        t_count = time.time()
+        total_reads = 0
+        for d in datasets:
+            key = count_key(
+                d.files,
+                config.kmer_size,
+                config.min_read_size,
+                config.min_read_shannon_index,
+                cap,
+            )
+            cached = ckpt.load(d.id, key)
+            if cached is not None:
+                words, counts, n = cached
+                log(f"count {d.id}: resumed from checkpoint "
+                    f"({len(counts)} distinct k-mers)")
+            else:
+                seqs = read_dataset(
+                    d.banks,
+                    config.min_read_size,
+                    config.min_read_shannon_index,
+                    max_reads=cap,
+                )
+                words, counts, n = count_dataset_spectrum(
+                    seqs, config.kmer_size
+                )
+                ckpt.save(d.id, key, words, counts, n)
+                log(
+                    f"count {d.id}: {n} reads -> "
+                    f"{len(counts)} distinct k-mers"
+                )
+            spectra.append((words, counts))
+            nb_reads.append(n)
+            total_reads += n
+        log(f"count phase: {total_reads} reads in "
+            f"{time.time() - t_count:.2f}s")
+        t_merge = time.time()
+        stats = compute_statistics_from_spectra(
+            spectra, ids, nb_reads, config
+        )
+        log(f"merge+distances: {time.time() - t_merge:.2f}s")
+    else:
+        dataset_seqs = [
+            read_dataset(
+                d.banks,
+                config.min_read_size,
+                config.min_read_shannon_index,
+                max_reads=cap,
+            )
+            for d in datasets
+        ]
+        total = sum(len(s) for s in dataset_seqs)
+        log(f"{len(ids)} datasets, {total} reads")
+        stats = compute_statistics(dataset_seqs, ids, config)
+
     matrices = compute_all_matrices(stats)
     os.makedirs(config.output_dir, exist_ok=True)
     write_all_matrices(config.output_dir, matrices, ids)
     if config.verbose:
         print(stats.summary())
-        print(
-            f"[simka-tpu] wrote {len(matrices)} matrices to "
-            f"{config.output_dir} in {time.time() - t0:.2f}s"
+
+    if config.output_tmp_dir and not config.keep_tmp:
+        # the reference removes temp dirs unless -keep-tmp
+        # (SimkaPotara.hpp:288-315)
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(config.output_tmp_dir, "count"),
+            ignore_errors=True,
         )
+
+    log(
+        f"wrote {len(matrices)} matrices to {config.output_dir} "
+        f"in {time.time() - t0:.2f}s"
+    )
     return matrices
+
+
+def run_data_info(config: SimkaConfig) -> List[Tuple[str, int]]:
+    """The reference's -data-info mode (Simka.cpp:30): only compute and
+    display input statistics."""
+    datasets = parse_input_file(config.input_filename)
+    check_input_validity(datasets)
+    out = []
+    for d in datasets:
+        n = len(
+            read_dataset(
+                d.banks,
+                config.min_read_size,
+                config.min_read_shannon_index,
+            )
+        )
+        out.append((d.id, n))
+        if config.verbose:
+            print(f"{d.id}: {n} reads")
+    return out

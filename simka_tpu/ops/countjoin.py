@@ -165,6 +165,9 @@ def count_join_stats(
 
     Args:
       hi, lo: uint32 [E] canonical k-mer words (SENTINEL = invalid).
+        For k > 31, ``hi`` may be a TUPLE of big-endian uint32 words
+        and ``lo`` the final (least significant) word -- any word
+        count is supported; grouping is lexicographic over the words.
       sid: int32 [E] sample index per k-mer instance.
       abundance_min/max: per-sample solidity bounds (traced scalars;
         reference filter at MiniKC.hpp:56: keep amin <= c <= amax).
@@ -178,17 +181,22 @@ def count_join_stats(
         before the pair terms consume them and every output is
         psum-reduced.
     """
-    E = hi.shape[0]
-    N = n_banks
+    words = (tuple(hi) if isinstance(hi, (tuple, list)) else (hi,)) + (
+        lo,
+    )
+    nw = len(words)
+    E = words[0].shape[0]
     idx = jnp.arange(E, dtype=jnp.int32)
 
     # ---- pass 1: group (kmer, sample) -> per-sample counts ----
-    hi, lo, sid = jax.lax.sort((hi, lo, sid), num_keys=3)
-    prev_same = (
-        (hi[1:] == hi[:-1]) & (lo[1:] == lo[:-1]) & (sid[1:] == sid[:-1])
-    )
+    sorted1 = jax.lax.sort((*words, sid), num_keys=nw + 1)
+    words = sorted1[:nw]
+    sid = sorted1[nw]
+    prev_same = (sid[1:] == sid[:-1])
+    for w in words:
+        prev_same = prev_same & (w[1:] == w[:-1])
     boundary = jnp.concatenate([jnp.array([True]), ~prev_same])
-    real = hi != SENTINEL
+    real = words[0] != SENTINEL
 
     starts_after = jnp.concatenate(
         [jnp.where(boundary, idx, E)[1:], jnp.array([E], jnp.int32)]
@@ -202,7 +210,92 @@ def count_join_stats(
         & (count >= abundance_min)
         & (count <= abundance_max)
     )
+    return _stats_from_rows(
+        words,
+        sid,
+        count,
+        kept,
+        n_banks=n_banks,
+        simple=simple,
+        complex_=complex_,
+        count_bits=count_bits,
+        vary_axes=vary_axes,
+        psum_axis=psum_axis,
+    )
 
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_banks",
+        "simple",
+        "complex_",
+        "count_bits",
+        "vary_axes",
+        "psum_axis",
+    ),
+)
+def join_stats_from_spectra(
+    words,
+    sid,
+    counts,
+    abundance_min,
+    abundance_max,
+    *,
+    n_banks: int,
+    simple: bool = False,
+    complex_: bool = False,
+    count_bits: int = 32,
+    vary_axes: tuple = (),
+    psum_axis: str = "",
+) -> JoinStats:
+    """Statistics from pre-counted per-sample spectra.
+
+    ``words``/``sid``/``counts`` hold one row per (distinct k-mer,
+    sample) pair -- the checkpointed output of the count phase (the
+    reference's partition files, reloaded on resume / when adding new
+    datasets with -keep-tmp, README.md:205-207). Rows need not be
+    sorted; SENTINEL first-words mark padding.
+    """
+    words = tuple(words)
+    kept = (
+        (words[0] != SENTINEL)
+        & (counts >= abundance_min)
+        & (counts <= abundance_max)
+    )
+    return _stats_from_rows(
+        words,
+        sid,
+        counts,
+        kept,
+        n_banks=n_banks,
+        simple=simple,
+        complex_=complex_,
+        count_bits=count_bits,
+        vary_axes=vary_axes,
+        psum_axis=psum_axis,
+    )
+
+
+def _stats_from_rows(
+    words,
+    sid,
+    count,
+    kept,
+    *,
+    n_banks: int,
+    simple: bool,
+    complex_: bool,
+    count_bits: int,
+    vary_axes: tuple,
+    psum_axis: str,
+) -> JoinStats:
+    """Shared pass 2+3 over (kmer, sample, count) rows with validity."""
+    nw = len(words)
+    E = words[0].shape[0]
+    N = n_banks
+    idx = jnp.arange(E, dtype=jnp.int32)
+    count = count.astype(jnp.int32)
     count64 = count.astype(jnp.int64)
     sid_clip = jnp.where(kept, sid, N)
     distinct_per_bank = binned_sum(
@@ -226,18 +319,20 @@ def count_join_stats(
         chord_n2_per_bank = jax.lax.psum(chord_n2_per_bank, psum_axis)
 
     # ---- pass 2: group surviving rows by kmer (the join) ----
-    hi2 = jnp.where(kept, hi, SENTINEL)
-    lo2 = jnp.where(kept, lo, SENTINEL)
-    hi2, lo2, sid2, cnt2 = jax.lax.sort(
-        (hi2, lo2, sid, count), num_keys=2
-    )
-    kept2 = hi2 != SENTINEL
-    newk = jnp.concatenate(
-        [
-            jnp.array([True]),
-            (hi2[1:] != hi2[:-1]) | (lo2[1:] != lo2[:-1]),
-        ]
-    ) & kept2
+    # sid participates as a sort key: within a k-mer, rows must come
+    # out sample-ascending so every co-present pair appears exactly
+    # once as (a, b) with a < b (rows from checkpoints / all_to_all
+    # exchanges arrive in arbitrary order)
+    words_k = tuple(jnp.where(kept, w, SENTINEL) for w in words)
+    sorted2 = jax.lax.sort((*words_k, sid, count), num_keys=nw + 1)
+    words2 = sorted2[:nw]
+    sid2 = sorted2[nw]
+    cnt2 = sorted2[nw + 1]
+    kept2 = words2[0] != SENTINEL
+    changed = words2[0][1:] != words2[0][:-1]
+    for w in words2[1:]:
+        changed = changed | (w[1:] != w[:-1])
+    newk = jnp.concatenate([jnp.array([True]), changed]) & kept2
     seg = jnp.cumsum(newk.astype(jnp.int32)) - 1
     seg_e = jnp.where(kept2, seg, E)
     n_distinct = jnp.max(jnp.where(kept2, seg, -1)) + 1

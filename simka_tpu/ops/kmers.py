@@ -22,6 +22,77 @@ import jax.numpy as jnp
 SENTINEL = jnp.uint32(0xFFFFFFFF)
 
 
+def n_words_for_k(k: int) -> int:
+    """uint32 words needed for a 2k-bit canonical k-mer value."""
+    return max(1, -(-2 * k // 32))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "comp_xor"))
+def extract_canonical_kmers_multi(codes, k: int, comp_xor: int = 3):
+    """Canonical k-mers as a big-endian tuple of uint32 words.
+
+    Supports any k with 2k bits across ``n_words_for_k(k)`` words
+    (k <= 63 covers the reference's compiled spans, CMakeLists.txt:66).
+    Returns (words, valid) where words[0] is the most significant.
+    Invalid positions hold all-ones in every word (> any real k-mer,
+    since the top word has < 32 payload bits... except when 2k is an
+    exact multiple of 32, where we still reserve the sentinel by
+    construction: k in {16, 32, 48} uses one extra leading word).
+    """
+    B, L = codes.shape
+    if L < k:
+        raise ValueError(f"read window {L} shorter than k={k}")
+    W = L - k + 1
+    nw = n_words_for_k(k)
+    if 2 * k == 32 * nw:
+        nw += 1  # keep headroom so the sentinel is unambiguous
+
+    invalid = (codes >= 4).astype(jnp.int32)
+    c32 = codes.astype(jnp.uint32)
+
+    # Horner over window offsets as a fori_loop: keeps the compiled
+    # graph small and compile times stable (an unrolled version
+    # produced multi-minute compiles on the remote TPU service)
+    def horner(i, state):
+        fwd, rc = state
+        b_f = jax.lax.dynamic_slice_in_dim(c32, i, W, axis=1) & 3
+        b_r = (
+            jax.lax.dynamic_slice_in_dim(c32, k - 1 - i, W, axis=1) & 3
+        ) ^ comp_xor
+        fwd = [
+            (fwd[w] << 2) | (fwd[w + 1] >> 30) for w in range(nw - 1)
+        ] + [(fwd[nw - 1] << 2) | b_f]
+        rc = [(rc[w] << 2) | (rc[w + 1] >> 30) for w in range(nw - 1)] + [
+            (rc[nw - 1] << 2) | b_r
+        ]
+        return fwd, rc
+
+    init = (
+        [jnp.zeros((B, W), jnp.uint32) for _ in range(nw)],
+        [jnp.zeros((B, W), jnp.uint32) for _ in range(nw)],
+    )
+    fwd, rc = jax.lax.fori_loop(0, k, horner, init)
+
+    # lexicographic min(forward, revcomp)
+    take_fwd = jnp.zeros((B, W), jnp.bool_)
+    undecided = jnp.ones((B, W), jnp.bool_)
+    for w in range(nw):
+        take_fwd = take_fwd | (undecided & (fwd[w] < rc[w]))
+        undecided = undecided & (fwd[w] == rc[w])
+    take_fwd = take_fwd | undecided  # equal -> forward
+    words = [jnp.where(take_fwd, fwd[w], rc[w]) for w in range(nw)]
+
+    cum = jnp.cumsum(invalid, axis=1)
+    cum = jnp.pad(cum, ((0, 0), (1, 0)))
+    bad_in_window = (
+        jax.lax.dynamic_slice_in_dim(cum, k, W, axis=1)
+        - jax.lax.dynamic_slice_in_dim(cum, 0, W, axis=1)
+    ) > 0
+    valid = ~bad_in_window
+    words = tuple(jnp.where(valid, w, SENTINEL) for w in words)
+    return words, valid
+
+
 @functools.partial(jax.jit, static_argnames=("k", "comp_xor"))
 def extract_canonical_kmers(codes, k: int, comp_xor: int = 3):
     """Extract all canonical k-mers from a batch of encoded reads.
@@ -51,22 +122,27 @@ def extract_canonical_kmers(codes, k: int, comp_xor: int = 3):
     # windows[i] = codes[:, i : i + W]
     c32 = codes.astype(jnp.uint32)
 
-    fwd_hi = jnp.zeros((B, W), jnp.uint32)
-    fwd_lo = jnp.zeros((B, W), jnp.uint32)
-    rc_hi = jnp.zeros((B, W), jnp.uint32)
-    rc_lo = jnp.zeros((B, W), jnp.uint32)
     # Horner over the k window offsets, fully vectorized over [B, W].
     # forward value = sum_i base[i] * 4^(k-1-i); revcomp value
-    # = sum_i (3 - base[i]) * 4^i, i.e. the same Horner walked backwards.
-    for i in range(k):
+    # = sum_i (comp(base[i])) * 4^i -- the same Horner walked backwards.
+    # fori_loop (not unrolled) to keep compile size/time bounded.
+    def horner(i, state):
+        fwd_hi, fwd_lo, rc_hi, rc_lo = state
         b_f = jax.lax.dynamic_slice_in_dim(c32, i, W, axis=1) & 3
         b_r = (
             jax.lax.dynamic_slice_in_dim(c32, k - 1 - i, W, axis=1) & 3
         ) ^ comp_xor
-        fwd_hi = (fwd_hi << 2) | (fwd_lo >> 30)
-        fwd_lo = (fwd_lo << 2) | b_f
-        rc_hi = (rc_hi << 2) | (rc_lo >> 30)
-        rc_lo = (rc_lo << 2) | b_r
+        return (
+            (fwd_hi << 2) | (fwd_lo >> 30),
+            (fwd_lo << 2) | b_f,
+            (rc_hi << 2) | (rc_lo >> 30),
+            (rc_lo << 2) | b_r,
+        )
+
+    zeros = jnp.zeros((B, W), jnp.uint32)
+    fwd_hi, fwd_lo, rc_hi, rc_lo = jax.lax.fori_loop(
+        0, k, horner, (zeros, zeros, zeros, zeros)
+    )
 
     take_fwd = (fwd_hi < rc_hi) | ((fwd_hi == rc_hi) & (fwd_lo <= rc_lo))
     hi = jnp.where(take_fwd, fwd_hi, rc_hi)

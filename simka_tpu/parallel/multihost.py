@@ -1,0 +1,194 @@
+"""Multi-host execution: sample-sharded counting + device all-to-all join.
+
+The reference's multi-node story is job scripts + a shared filesystem
+(qsub templates, sentinel polling -- SimkaPotara.hpp:884-897). The
+TPU-native design:
+
+1. every host counts the per-sample spectra of ITS datasets locally
+   (pure data parallelism over samples, no communication -- the role
+   of the count jobs);
+2. spectrum rows are binned by k-mer hash to their owner device and
+   exchanged with ONE ``lax.all_to_all`` over the global mesh (the
+   role of the N x P partition-file shuffle on the shared FS);
+3. each device joins its hash range and the statistics are
+   psum-reduced (the role of simkaMerge + the stats merge).
+
+Everything here runs unchanged on a single process with virtual
+devices (how it is tested) and on a real multi-host pod after
+``jax.distributed.initialize`` -- the all_to_all rides ICI/DCN.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from simka_tpu.ops.countjoin import JoinStats, join_stats_from_spectra
+from simka_tpu.parallel.sharded import _mix_hash_np
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize jax.distributed for a multi-host run (no-op when
+    unconfigured / single-host)."""
+    if coordinator_address is None:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def datasets_for_process(
+    n_datasets: int, process_id: int, num_processes: int
+) -> List[int]:
+    """Static sample-sharding manifest: which dataset indices this
+    host ingests and counts (round-robin for balance)."""
+    return list(range(process_id, n_datasets, num_processes))
+
+
+def bin_rows_for_devices(
+    words: Tuple[np.ndarray, ...],
+    sid: np.ndarray,
+    counts: np.ndarray,
+    n_devices: int,
+    local_src_slots: int,
+    pad_multiple: int = 256,
+):
+    """Bin this host's spectrum rows by destination device.
+
+    Returns uint32 arrays of shape [local_src_slots, n_devices, cap]
+    per word plus sid/count arrays: slot-major so each local device
+    acts as one all_to_all source. Padding rows carry SENTINEL words.
+    """
+    words = tuple(words)
+    valid = words[0] != np.uint32(0xFFFFFFFF)
+    h = words[0]
+    for w in words[1:]:
+        h = _mix_hash_np(h, w)
+    dest = np.where(valid, h % np.uint32(n_devices), n_devices).astype(
+        np.int64
+    )
+    order = np.argsort(dest, kind="stable")
+    dest_sorted = dest[order]
+    counts_per_dest = np.bincount(
+        dest_sorted, minlength=n_devices + 1
+    )[:n_devices]
+    # split each destination's rows round-robin across local source
+    # slots, so every local device carries ~1/L of the traffic
+    per_slot = -(-int(counts_per_dest.max()) // local_src_slots)
+    cap = max(pad_multiple, -(-per_slot // pad_multiple) * pad_multiple)
+
+    shape = (local_src_slots, n_devices, cap)
+    out_words = tuple(
+        np.full(shape, 0xFFFFFFFF, np.uint32) for _ in words
+    )
+    out_sid = np.zeros(shape, np.int32)
+    out_cnt = np.zeros(shape, np.int32)
+    start = 0
+    for d in range(n_devices):
+        n = int(counts_per_dest[d])
+        sel = order[start : start + n]
+        for slot in range(local_src_slots):
+            part = sel[slot::local_src_slots]
+            m = len(part)
+            for ow, w in zip(out_words, words):
+                ow[slot, d, :m] = w[part]
+            out_sid[slot, d, :m] = sid[part]
+            out_cnt[slot, d, :m] = counts[part]
+        start += n
+    return out_words, out_sid, out_cnt
+
+
+def multihost_join_from_spectra(
+    words: Tuple[np.ndarray, ...],
+    sid: np.ndarray,
+    counts: np.ndarray,
+    abundance_min: int,
+    abundance_max: int,
+    *,
+    mesh: Mesh,
+    n_banks: int,
+    simple: bool = False,
+    complex_: bool = False,
+) -> JoinStats:
+    """Join this process's local spectrum rows with every other host's
+    via an in-program all_to_all, then compute global statistics.
+
+    ``words``/``sid``/``counts`` are the rows counted BY THIS PROCESS
+    (its manifest datasets). The function must be called on every
+    process with the same mesh.
+    """
+    devices = mesh.devices.reshape(-1)
+    n_dev = len(devices)
+    local = [d for d in devices if d.process_index == jax.process_index()]
+    n_local = max(len(local), 1)
+
+    bw, bs, bc = bin_rows_for_devices(
+        tuple(words), sid, counts, n_dev, n_local
+    )
+    # NOTE multi-process runs need a globally agreed cap (the binned
+    # arrays' last dim); processes with less data pad up. A real pod
+    # deployment should pre-agree via
+    # jax.experimental.multihost_utils.process_allgather on the local
+    # cap; single-process meshes (and the dryrun) are already
+    # consistent.
+    nw = len(bw)
+
+    arrays = []
+    sharding = NamedSharding(mesh, P("shards"))
+    for arr in (*bw, bs, bc):
+        # [L, n_dev, cap] local block -> global [n_dev, n_dev, cap]
+        # sharded along axis 0 (source device)
+        garr = jax.make_array_from_process_local_data(
+            sharding,
+            arr,
+            global_shape=(n_dev,) + arr.shape[1:],
+        )
+        arrays.append(garr)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            tuple(P("shards") for _ in range(nw)),
+            P("shards"),
+            P("shards"),
+        ),
+        out_specs=jax.tree.map(
+            lambda _: P(), JoinStats(*[0] * len(JoinStats._fields))
+        ),
+    )
+    def step(words_b, sid_b, cnt_b):
+        # [1, n_dev, cap] per source device; exchange so that each
+        # device gathers its destination column from every source
+        def a2a(x):
+            y = jax.lax.all_to_all(
+                x, "shards", split_axis=1, concat_axis=0, tiled=True
+            )
+            return y.reshape(-1)
+
+        w_loc = tuple(a2a(w) for w in words_b)
+        return join_stats_from_spectra(
+            w_loc,
+            a2a(sid_b),
+            a2a(cnt_b),
+            jnp.int32(abundance_min),
+            jnp.int64(abundance_max),
+            n_banks=n_banks,
+            simple=simple,
+            complex_=complex_,
+            vary_axes=("shards",),
+            psum_axis="shards",
+        )
+
+    return step(tuple(arrays[:nw]), arrays[nw], arrays[nw + 1])

@@ -1,0 +1,78 @@
+"""k > 31 (multi-word k-mer) end-to-end consistency.
+
+No reference truth exists beyond k=31 in-tree, so the oracle is a
+pure-python recount over the example reads: per-sample canonical
+k-mer counts, abundance filtering, and the core pairwise sums.
+"""
+
+import collections
+import math
+
+import numpy as np
+import pytest
+
+from simka_tpu.config import SimkaConfig
+from simka_tpu.core.pipeline import compute_statistics
+from simka_tpu.io.bank import read_dataset
+from simka_tpu.io.dsl import parse_input_file
+
+REF_INPUT = "/root/reference/example/simka_input.txt"
+
+CODE = {65: 0, 67: 1, 71: 2, 84: 3}
+COMP = {0: 3, 1: 2, 2: 1, 3: 0}
+
+
+def oracle_counts(seqs, k):
+    counts = collections.Counter()
+    for s in seqs:
+        bases = [CODE.get(b) for b in s]
+        for i in range(len(bases) - k + 1):
+            win = bases[i : i + k]
+            if any(b is None for b in win):
+                continue
+            fwd = 0
+            for b in win:
+                fwd = fwd * 4 + b
+            rc = 0
+            for b in reversed(win):
+                rc = rc * 4 + COMP[b]
+            counts[min(fwd, rc)] += 1
+    return counts
+
+
+@pytest.mark.parametrize("k", [33, 41])
+def test_k_gt_31_pipeline(k):
+    datasets = parse_input_file(REF_INPUT)[:3]  # A, B, C
+    ids = [d.id for d in datasets]
+    seqs = [read_dataset(d.banks) for d in datasets]
+    amin = 2
+
+    config = SimkaConfig(
+        kmer_size=k, abundance_min=amin, verbose=False, n_shards=1
+    )
+    stats = compute_statistics(seqs, ids, config)
+
+    per_sample = [oracle_counts(s, k) for s in seqs]
+    filtered = [
+        {v: c for v, c in cnt.items() if c >= amin} for cnt in per_sample
+    ]
+    for i, f in enumerate(filtered):
+        assert int(stats.distinct_per_bank[i]) == len(f), i
+        assert int(stats.solid_per_bank[i]) == sum(f.values()), i
+        assert int(stats.chord_n2_per_bank[i]) == sum(
+            c * c for c in f.values()
+        ), i
+
+    union = set().union(*[set(f) for f in filtered])
+    assert stats.nb_distinct_kmers == len(union)
+
+    for i in range(3):
+        for j in range(i + 1, 3):
+            shared = set(filtered[i]) & set(filtered[j])
+            assert int(stats.shared_distinct[i][j]) == len(shared), (i, j)
+            assert int(stats.shared_kmers[i][j]) == sum(
+                filtered[i][v] for v in shared
+            ), (i, j)
+            assert int(stats.bray_numerator[i][j]) == sum(
+                min(filtered[i][v], filtered[j][v]) for v in shared
+            ), (i, j)

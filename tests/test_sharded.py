@@ -46,9 +46,9 @@ def test_shard_invariance(n_shards):
         n_banks=n_banks, simple=True, complex_=True,
     )
     mesh = make_mesh(n_shards)
-    hs, ls, ss = shard_instances_by_hash(hi, lo, sid, n_shards)
+    ws, ss = shard_instances_by_hash((hi, lo), sid, n_shards)
     jsN = sharded_count_join_stats(
-        hs, ls, ss, 2, 10**9,
+        ws, ss, 2, 10**9,
         mesh=mesh, n_banks=n_banks, simple=True, complex_=True,
     )
     for name in js1._fields:
@@ -72,9 +72,9 @@ def test_shard_invariance_matrices_bitexact():
     outs = []
     for n_shards in (1, 4):
         mesh = make_mesh(n_shards)
-        hs, ls, ss = shard_instances_by_hash(hi, lo, sid, n_shards)
+        ws, ss = shard_instances_by_hash((hi, lo), sid, n_shards)
         js = sharded_count_join_stats(
-            hs, ls, ss, 1, 10**9,
+            ws, ss, 1, 10**9,
             mesh=mesh, n_banks=n_banks, simple=True, complex_=True,
             )
         stats = SimkaStatistics.from_join_stats(
