@@ -195,6 +195,12 @@ def compute_statistics_from_spectra(
     sid = np.concatenate(sids)
     counts = np.concatenate(cnts)
 
+    # the host knows every count here: size the exact-einsum limbs to
+    # the actual maximum (1 limb pass for typical low-coverage data
+    # instead of 3 for the worst-case 32-bit bound)
+    max_count = int(counts.max()) if len(counts) else 1
+    count_bits = min(32, max(11, max_count.bit_length()))
+
     n_shards = config.n_shards or len(jax.devices())
     if n_shards > 1 and len(jax.devices()) >= n_shards:
         from simka_tpu.parallel.sharded import (
@@ -215,6 +221,7 @@ def compute_statistics_from_spectra(
             n_banks=len(dataset_ids),
             simple=config.simple_dist,
             complex_=config.complex_dist,
+            count_bits=count_bits,
         )
     else:
         from simka_tpu.ops.countjoin import join_stats_from_spectra
@@ -238,6 +245,7 @@ def compute_statistics_from_spectra(
             n_banks=len(dataset_ids),
             simple=config.simple_dist,
             complex_=config.complex_dist,
+            count_bits=count_bits,
         )
     return SimkaStatistics.from_join_stats(
         js,
@@ -249,13 +257,33 @@ def compute_statistics_from_spectra(
     )
 
 
-def count_dataset_spectrum(seqs: List[bytes], k: int):
-    """Count phase for one sample: extract + device sort/run-length."""
-    from simka_tpu.ops.spectrum import count_spectrum
+def count_dataset_spectrum(
+    seqs: List[bytes], k: int, stream_batch_reads: int = 1 << 20
+):
+    """Count phase for one sample: extract + device sort/run-length.
 
-    words, n = extract_dataset_kmers(seqs, k)
-    uw, counts = count_spectrum(*words)
-    return uw, counts, n
+    Samples larger than ``stream_batch_reads`` are counted in
+    super-batches whose spectra are folded together on device
+    (ops.spectrum.merge_spectra), bounding peak memory by the batch
+    size instead of the sample size -- the role the reference's
+    ConfigurationAlgorithm memory planning plays for DSK
+    (SimkaPotara.hpp:617-657).
+    """
+    from simka_tpu.ops.spectrum import count_spectrum, merge_spectra
+
+    if len(seqs) <= stream_batch_reads:
+        words, n = extract_dataset_kmers(seqs, k)
+        uw, counts = count_spectrum(*words)
+        return uw, counts, n
+
+    partials = []
+    for start in range(0, len(seqs), stream_batch_reads):
+        words, _ = extract_dataset_kmers(
+            seqs[start : start + stream_batch_reads], k
+        )
+        partials.append(count_spectrum(*words))
+    uw, counts = merge_spectra(partials)
+    return uw, counts, len(seqs)
 
 
 def run_simka(config: SimkaConfig) -> Dict[str, np.ndarray]:
@@ -266,10 +294,15 @@ def run_simka(config: SimkaConfig) -> Dict[str, np.ndarray]:
     sentinel-file system, SimkaPotara.hpp:838-842); ``keep_tmp``
     preserves them so later runs can add datasets without recounting.
     """
+    from simka_tpu.utils.metrics import Metrics
+
+    metrics = Metrics()
     t0 = time.time()
     datasets = parse_input_file(config.input_filename)
     check_input_validity(datasets)
     ids = [d.id for d in datasets]
+    metrics.set("n_datasets", len(ids))
+    metrics.set("kmer_size", config.kmer_size)
 
     if config.max_reads == 0:
         # auto mode: per-GROUP read counts (the reference divides each
@@ -299,63 +332,72 @@ def run_simka(config: SimkaConfig) -> Dict[str, np.ndarray]:
 
         ckpt = CountCheckpoint(config.output_tmp_dir)
         spectra, nb_reads = [], []
-        t_count = time.time()
         total_reads = 0
-        for d in datasets:
-            key = count_key(
-                d.files,
-                config.kmer_size,
-                config.min_read_size,
-                config.min_read_shannon_index,
-                cap,
+        with metrics.stage("count"):
+            for d in datasets:
+                key = count_key(
+                    d.files,
+                    config.kmer_size,
+                    config.min_read_size,
+                    config.min_read_shannon_index,
+                    cap,
+                )
+                cached = ckpt.load(d.id, key)
+                if cached is not None:
+                    words, counts, n = cached
+                    metrics.count("datasets_resumed", 1)
+                    log(f"count {d.id}: resumed from checkpoint "
+                        f"({len(counts)} distinct k-mers)")
+                else:
+                    seqs = read_dataset(
+                        d.banks,
+                        config.min_read_size,
+                        config.min_read_shannon_index,
+                        max_reads=cap,
+                    )
+                    words, counts, n = count_dataset_spectrum(
+                        seqs, config.kmer_size
+                    )
+                    ckpt.save(d.id, key, words, counts, n)
+                    log(
+                        f"count {d.id}: {n} reads -> "
+                        f"{len(counts)} distinct k-mers"
+                    )
+                spectra.append((words, counts))
+                nb_reads.append(n)
+                total_reads += n
+                metrics.count("kmer_instances", int(counts.sum()))
+        metrics.count("reads", total_reads)
+        log(f"count phase: {total_reads} reads in "
+            f"{metrics.timings['count']:.2f}s")
+        with metrics.stage("merge"):
+            stats = compute_statistics_from_spectra(
+                spectra, ids, nb_reads, config
             )
-            cached = ckpt.load(d.id, key)
-            if cached is not None:
-                words, counts, n = cached
-                log(f"count {d.id}: resumed from checkpoint "
-                    f"({len(counts)} distinct k-mers)")
-            else:
-                seqs = read_dataset(
+        log(f"merge+distances: {metrics.timings['merge']:.2f}s")
+    else:
+        with metrics.stage("read"):
+            dataset_seqs = [
+                read_dataset(
                     d.banks,
                     config.min_read_size,
                     config.min_read_shannon_index,
                     max_reads=cap,
                 )
-                words, counts, n = count_dataset_spectrum(
-                    seqs, config.kmer_size
-                )
-                ckpt.save(d.id, key, words, counts, n)
-                log(
-                    f"count {d.id}: {n} reads -> "
-                    f"{len(counts)} distinct k-mers"
-                )
-            spectra.append((words, counts))
-            nb_reads.append(n)
-            total_reads += n
-        log(f"count phase: {total_reads} reads in "
-            f"{time.time() - t_count:.2f}s")
-        t_merge = time.time()
-        stats = compute_statistics_from_spectra(
-            spectra, ids, nb_reads, config
-        )
-        log(f"merge+distances: {time.time() - t_merge:.2f}s")
-    else:
-        dataset_seqs = [
-            read_dataset(
-                d.banks,
-                config.min_read_size,
-                config.min_read_shannon_index,
-                max_reads=cap,
-            )
-            for d in datasets
-        ]
+                for d in datasets
+            ]
         total = sum(len(s) for s in dataset_seqs)
+        metrics.count("reads", total)
         log(f"{len(ids)} datasets, {total} reads")
-        stats = compute_statistics(dataset_seqs, ids, config)
+        with metrics.stage("count"):
+            stats = compute_statistics(dataset_seqs, ids, config)
 
-    matrices = compute_all_matrices(stats)
-    os.makedirs(config.output_dir, exist_ok=True)
-    write_all_matrices(config.output_dir, matrices, ids)
+    with metrics.stage("output"):
+        matrices = compute_all_matrices(stats)
+        os.makedirs(config.output_dir, exist_ok=True)
+        write_all_matrices(config.output_dir, matrices, ids)
+    metrics.set("nb_distinct_kmers", stats.nb_distinct_kmers)
+    metrics.save(os.path.join(config.output_dir, "simka_metrics.json"))
     if config.verbose:
         print(stats.summary())
 

@@ -103,11 +103,14 @@ def compute_sketch(
     if len(values) == 0:
         return np.empty(0, np.uint64), np.empty(0, np.uint32)
 
-    # per-INSTANCE hash stream in read order (needed for the h_max
-    # count correction below)
+    # per-INSTANCE hash stream in read order (the h_max correction
+    # below depends on occurrence positions); grouping runs on device
     stream = murmur3_u64(values, seed)
-    uniq, first_idx, counts = np.unique(
-        stream, return_index=True, return_counts=True
+    from simka_tpu.ops.spectrum import hash_spectrum
+
+    uniq, counts, first_idx, second_idx = hash_spectrum(
+        (stream >> np.uint64(32)).astype(np.uint32),
+        (stream & np.uint64(0xFFFFFFFF)).astype(np.uint32),
     )
 
     entry_pos = first_idx
@@ -117,17 +120,14 @@ def compute_sketch(
         # SECOND occurrence (count initialized to 2,
         # SimkaMinCount.hpp:353)
         keep = counts >= 2
-        uniq, first_idx, counts = uniq[keep], first_idx[keep], counts[keep]
-        if len(uniq):
-            order = np.argsort(stream, kind="stable")
-            sorted_stream = stream[order]
-            run_start = np.searchsorted(sorted_stream, uniq, side="left")
-            entry_pos = order[run_start + 1]  # 2nd occurrence position
+        uniq, counts = uniq[keep], counts[keep]
+        entry_pos = second_idx[keep]
         base = 2
 
     if len(uniq) == 0:
         return np.empty(0, np.uint64), np.empty(0, np.uint32)
 
+    # uniq is already hash-ascending: the bottom-s sketch is a prefix
     s = min(sketch_size, len(uniq))
     hashes = uniq[:s].copy()
     out_counts = counts[:s].astype(np.int64)
@@ -138,7 +138,7 @@ def compute_sketch(
         # `hash < top` fails (SimkaMinCount.hpp:324)
         h_max = hashes[s - 1]
         if s >= 2:
-            t_last = int(entry_pos[:s - 1].max())
+            t_last = int(entry_pos[: s - 1].max())
         else:
             t_last = 0
         n_before = int(np.count_nonzero(stream[:t_last] == h_max))

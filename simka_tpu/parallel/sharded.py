@@ -188,6 +188,7 @@ def sharded_join_from_spectra(
     n_banks: int,
     simple: bool = False,
     complex_: bool = False,
+    count_bits: int = 32,
 ) -> JoinStats:
     """Sharded variant of join_stats_from_spectra (checkpoint/resume
     path): every shard joins its spectrum rows, psum-reduced."""
@@ -218,6 +219,7 @@ def sharded_join_from_spectra(
             n_banks=n_banks,
             simple=simple,
             complex_=complex_,
+            count_bits=count_bits,
             vary_axes=("shards",),
             psum_axis="shards",
         )
