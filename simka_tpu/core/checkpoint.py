@@ -32,6 +32,7 @@ def count_key(
     min_read_size: int,
     min_read_shannon_index: float,
     max_reads: int,
+    min_kmer_shannon_index: float = 0.0,
 ) -> str:
     """Hash of everything that changes a sample's counted spectrum."""
     payload = json.dumps(
@@ -46,6 +47,7 @@ def count_key(
             "min_read_size": min_read_size,
             "min_shannon": min_read_shannon_index,
             "max_reads": max_reads,
+            "min_kmer_shannon": min_kmer_shannon_index,
         },
         sort_keys=True,
     )

@@ -47,7 +47,10 @@ def resolve_max_reads(read_counts: Sequence[int], max_reads: int) -> int:
 
 
 def extract_dataset_kmers(
-    seqs: List[bytes], k: int, batch_reads: int = 1 << 15
+    seqs: List[bytes],
+    k: int,
+    batch_reads: int = 1 << 15,
+    min_kmer_shannon_index: float = 0.0,
 ) -> Tuple[Tuple[np.ndarray, ...], int]:
     """Encode + extract canonical k-mers for one sample.
 
@@ -74,6 +77,28 @@ def extract_dataset_kmers(
         else:
             batch_words, _ = extract_canonical_kmers_multi(
                 jnp.asarray(codes), k
+            )
+        if min_kmer_shannon_index > 0.0:
+            # the reference parses -kmer-shannon-index but its live
+            # call site is commented out (SimkaAlgorithm.hpp:226-232);
+            # we apply it for real at count time
+            if k > 31:
+                raise NotImplementedError(
+                    "-kmer-shannon-index currently supports k <= 31"
+                )
+            from simka_tpu.ops.kmers import (
+                SENTINEL,
+                kmer_shannon_index,
+            )
+
+            hi, lo = batch_words
+            keep = (
+                kmer_shannon_index(hi, lo, k)
+                >= min_kmer_shannon_index
+            )
+            batch_words = (
+                jnp.where(keep, hi, SENTINEL),
+                jnp.where(keep, lo, SENTINEL),
             )
         if not parts:
             parts = [[] for _ in batch_words]
@@ -104,7 +129,10 @@ def compute_statistics(
     sids = []
     nb_reads = []
     for s, seqs in enumerate(dataset_seqs):
-        words, n = extract_dataset_kmers(seqs, k)
+        words, n = extract_dataset_kmers(
+            seqs, k,
+            min_kmer_shannon_index=config.min_kmer_shannon_index,
+        )
         if not word_parts:
             word_parts = [[] for _ in words]
         for i, w in enumerate(words):
@@ -258,7 +286,10 @@ def compute_statistics_from_spectra(
 
 
 def count_dataset_spectrum(
-    seqs: List[bytes], k: int, stream_batch_reads: int = 1 << 20
+    seqs: List[bytes],
+    k: int,
+    stream_batch_reads: int = 1 << 20,
+    min_kmer_shannon_index: float = 0.0,
 ):
     """Count phase for one sample: extract + device sort/run-length.
 
@@ -272,14 +303,17 @@ def count_dataset_spectrum(
     from simka_tpu.ops.spectrum import count_spectrum, merge_spectra
 
     if len(seqs) <= stream_batch_reads:
-        words, n = extract_dataset_kmers(seqs, k)
+        words, n = extract_dataset_kmers(
+            seqs, k, min_kmer_shannon_index=min_kmer_shannon_index
+        )
         uw, counts = count_spectrum(*words)
         return uw, counts, n
 
     partials = []
     for start in range(0, len(seqs), stream_batch_reads):
         words, _ = extract_dataset_kmers(
-            seqs[start : start + stream_batch_reads], k
+            seqs[start : start + stream_batch_reads], k,
+            min_kmer_shannon_index=min_kmer_shannon_index,
         )
         partials.append(count_spectrum(*words))
     uw, counts = merge_spectra(partials)
@@ -341,6 +375,7 @@ def run_simka(config: SimkaConfig) -> Dict[str, np.ndarray]:
                     config.min_read_size,
                     config.min_read_shannon_index,
                     cap,
+                    config.min_kmer_shannon_index,
                 )
                 cached = ckpt.load(d.id, key)
                 if cached is not None:
@@ -356,7 +391,9 @@ def run_simka(config: SimkaConfig) -> Dict[str, np.ndarray]:
                         max_reads=cap,
                     )
                     words, counts, n = count_dataset_spectrum(
-                        seqs, config.kmer_size
+                        seqs,
+                        config.kmer_size,
+                        min_kmer_shannon_index=config.min_kmer_shannon_index,
                     )
                     ckpt.save(d.id, key, words, counts, n)
                     log(
