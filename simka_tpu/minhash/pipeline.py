@@ -101,7 +101,21 @@ def distance_command(
 
     s1 = _load_sketch_block(sf1, start_i, n_i)
     s2 = s1 if symmetric else _load_sketch_block(sf2, start_j, n_j)
-    jac, bc = compute_distance_block(s1, s2, symmetric)
+    # device path amortizes once the pair workload is non-trivial
+    # (batched vmapped searchsorted; exact-match tested against the
+    # host walk emulation in tests/test_device_distance.py)
+    n_pairs = (
+        n_i * (n_i - 1) // 2 if symmetric else n_i * n_j
+    )
+    max_s = max((len(h) for h, _ in s1 + s2), default=0)
+    if n_pairs * max_s >= 1_000_000:
+        from simka_tpu.minhash.device_distance import (
+            compute_distance_block_device,
+        )
+
+        jac, bc = compute_distance_block_device(s1, s2, symmetric)
+    else:
+        jac, bc = compute_distance_block(s1, s2, symmetric)
 
     os.makedirs(output_dir, exist_ok=True)
     for name, block in zip(MATRIX_NAMES, (jac, bc)):
