@@ -41,6 +41,11 @@ def build_simka_parser() -> argparse.ArgumentParser:
     p.add_argument("-verbose", type=int, default=1, help="verbosity")
     p.add_argument("-n-shards", type=int, default=0, help="k-mer-space shards (0 = all local devices)")
     p.add_argument("-data-info", action="store_true", help="compute (and display) input information only")
+    # multi-host (the reference's cluster mode, replacing qsub job
+    # templates + shared-FS sentinels with jax.distributed)
+    p.add_argument("-coordinator", default=None, help="coordinator address host:port for multi-host runs")
+    p.add_argument("-num-hosts", type=int, default=None, help="number of hosts in the multi-host run")
+    p.add_argument("-host-id", type=int, default=None, help="this host's process id (0-based)")
     return p
 
 
@@ -69,6 +74,16 @@ def simka_main(argv) -> int:
         from simka_tpu.core.pipeline import run_data_info
 
         run_data_info(config)
+        return 0
+
+    if args.coordinator:
+        from simka_tpu.parallel.multihost import (
+            init_distributed,
+            run_simka_multihost,
+        )
+
+        init_distributed(args.coordinator, args.num_hosts, args.host_id)
+        run_simka_multihost(config)
         return 0
 
     from simka_tpu.core.pipeline import run_simka

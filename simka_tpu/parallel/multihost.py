@@ -48,6 +48,101 @@ def init_distributed(
     )
 
 
+def run_simka_multihost(config) -> None:
+    """Multi-host `simka`: every process counts its manifest datasets
+    locally and joins over the global mesh.
+
+    Replaces the reference's cluster mode (job templates + qsub +
+    shared-FS sentinels, SimkaPotara.hpp:884-897): launch one process
+    per host with identical arguments plus -coordinator/-num-hosts/
+    -host-id; process 0 writes the matrices.
+
+    Single-process invocations degenerate to the standard pipeline
+    over the local mesh (that path is what CI exercises).
+    """
+    import os
+
+    import numpy as np
+
+    from simka_tpu.core.distances import compute_all_matrices
+    from simka_tpu.core.output import write_all_matrices
+    from simka_tpu.core.pipeline import (
+        count_dataset_spectrum,
+        read_dataset,
+    )
+    from simka_tpu.core.stats import SimkaStatistics
+    from simka_tpu.io.dsl import check_input_validity, parse_input_file
+
+    datasets = parse_input_file(config.input_filename)
+    check_input_validity(datasets)
+    ids = [d.id for d in datasets]
+    n = len(ids)
+    pid = jax.process_index()
+    n_proc = jax.process_count()
+    mine = datasets_for_process(n, pid, n_proc)
+
+    word_parts, sids, cnts = [], [], []
+    nb_reads = np.zeros(n, np.int64)
+    for s in mine:
+        seqs = read_dataset(
+            datasets[s].banks,
+            config.min_read_size,
+            config.min_read_shannon_index,
+            max_reads=max(config.max_reads, 0),
+        )
+        words, counts, nr = count_dataset_spectrum(
+            seqs, config.kmer_size
+        )
+        if not word_parts:
+            word_parts = [[] for _ in words]
+        for i, w in enumerate(words):
+            word_parts[i].append(w)
+        sids.append(np.full(words[0].shape, s, np.int32))
+        cnts.append(counts.astype(np.int32))
+        nb_reads[s] = nr
+
+    words = tuple(np.concatenate(p) for p in word_parts)
+    sid = np.concatenate(sids)
+    counts = np.concatenate(cnts)
+
+    from simka_tpu.parallel.sharded import make_mesh
+
+    mesh = Mesh(
+        np.asarray(jax.devices()), axis_names=("shards",)
+    )
+    js = multihost_join_from_spectra(
+        words,
+        sid,
+        counts,
+        config.abundance_min,
+        config.abundance_max,
+        mesh=mesh,
+        n_banks=n,
+        simple=config.simple_dist,
+        complex_=config.complex_dist,
+    )
+    if n_proc > 1:
+        from jax.experimental import multihost_utils
+
+        nb_reads = multihost_utils.process_allgather(nb_reads).sum(
+            axis=0
+        )
+    if pid == 0:
+        stats = SimkaStatistics.from_join_stats(
+            js,
+            ids,
+            config.kmer_size,
+            nb_reads,
+            config.simple_dist,
+            config.complex_dist,
+        )
+        matrices = compute_all_matrices(stats)
+        os.makedirs(config.output_dir, exist_ok=True)
+        write_all_matrices(config.output_dir, matrices, ids)
+        if config.verbose:
+            print(stats.summary())
+
+
 def datasets_for_process(
     n_datasets: int, process_id: int, num_processes: int
 ) -> List[int]:
