@@ -46,11 +46,25 @@ def build_simka_parser() -> argparse.ArgumentParser:
     p.add_argument("-coordinator", default=None, help="coordinator address host:port for multi-host runs")
     p.add_argument("-num-hosts", type=int, default=None, help="number of hosts in the multi-host run")
     p.add_argument("-host-id", type=int, default=None, help="this host's process id (0-based)")
+    # reference cluster-mode flags, accepted for CLI compatibility;
+    # their role (job submission over a shared FS) is replaced by the
+    # -coordinator multi-host mode
+    for flag in ("-count-cmd", "-merge-cmd", "-count-file", "-merge-file"):
+        p.add_argument(flag, default=None, help=argparse.SUPPRESS)
+    p.add_argument("-max-count", type=int, default=0, help=argparse.SUPPRESS)
+    p.add_argument("-max-merge", type=int, default=0, help=argparse.SUPPRESS)
     return p
 
 
 def simka_main(argv) -> int:
     args = build_simka_parser().parse_args(argv)
+    if args.count_cmd or args.merge_cmd or args.count_file or args.merge_file:
+        print(
+            "[simka-tpu] note: the reference's cluster job flags are "
+            "accepted but inert; use -coordinator/-num-hosts/-host-id "
+            "for multi-host runs (jax.distributed)",
+            flush=True,
+        )
     config = SimkaConfig(
         input_filename=args.input,
         output_dir=args.out,
