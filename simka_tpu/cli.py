@@ -108,11 +108,15 @@ def simka_main(argv) -> int:
 
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
-    if argv and argv[0] == "min":
-        from simka_tpu.minhash.cli import min_main
+    try:
+        if argv and argv[0] == "min":
+            from simka_tpu.minhash.cli import min_main
 
-        return min_main(argv[1:])
-    return simka_main(argv)
+            return min_main(argv[1:])
+        return simka_main(argv)
+    except (FileNotFoundError, ValueError) as e:
+        print(f"simka-tpu: error: {e}", file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":
