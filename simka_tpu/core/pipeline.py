@@ -384,17 +384,32 @@ def run_simka(config: SimkaConfig) -> Dict[str, np.ndarray]:
                     log(f"count {d.id}: resumed from checkpoint "
                         f"({len(counts)} distinct k-mers)")
                 else:
-                    seqs = read_dataset(
-                        d.banks,
-                        config.min_read_size,
-                        config.min_read_shannon_index,
-                        max_reads=cap,
-                    )
-                    words, counts, n = count_dataset_spectrum(
-                        seqs,
-                        config.kmer_size,
-                        min_kmer_shannon_index=config.min_kmer_shannon_index,
-                    )
+                    # the reference re-runs a failed count job up to 4
+                    # times (simkaCountProcess, SimkaCountProcess.cpp:21-28)
+                    last_err = None
+                    for attempt in range(4):
+                        try:
+                            seqs = read_dataset(
+                                d.banks,
+                                config.min_read_size,
+                                config.min_read_shannon_index,
+                                max_reads=cap,
+                            )
+                            words, counts, n = count_dataset_spectrum(
+                                seqs,
+                                config.kmer_size,
+                                min_kmer_shannon_index=config.min_kmer_shannon_index,
+                            )
+                            last_err = None
+                            break
+                        except (OSError, RuntimeError) as e:
+                            last_err = e
+                            log(
+                                f"count {d.id}: attempt "
+                                f"{attempt + 1} failed ({e}); retrying"
+                            )
+                    if last_err is not None:
+                        raise last_err
                     ckpt.save(d.id, key, words, counts, n)
                     log(
                         f"count {d.id}: {n} reads -> "

@@ -63,6 +63,14 @@ def min_main(argv) -> int:
     p.add_argument("-in", dest="input", required=True)
     p.add_argument("-out", dest="out", required=True, help="existing pipeline output dir")
 
+    # hidden in the reference too (SimkaMin.cpp:100-103)
+    p = sub.add_parser("matrix-update", help="grow binary matrices in place")
+    p.add_argument("-in", dest="input", required=True, help="existing distance dir")
+    p.add_argument("-in-evn", required=True, help="existingVsNew distance dir")
+    p.add_argument("-in-nvn", required=True, help="newVsNew distance dir")
+    p.add_argument("-n-old", type=int, required=True)
+    p.add_argument("-n-new", type=int, required=True)
+
     args = parser.parse_args(argv)
     from simka_tpu.minhash import pipeline as mp
 
@@ -91,6 +99,10 @@ def min_main(argv) -> int:
         )
     elif args.cmd == "update":
         mp.run_simka_min_update(args.out, args.input)
+    elif args.cmd == "matrix-update":
+        mp.matrix_update_command(
+            args.input, args.in_evn, args.in_nvn, args.n_old, args.n_new
+        )
     return 0
 
 
