@@ -101,8 +101,12 @@ def _pair_bin_int(oh_a, oh_b, values, bits: int):
     oh_a/oh_b: [nb, B, N] f32 one-hots; values: [nb, B] int64 >= 0,
     < 2**bits. Returns [N, N] int64 with
     out[i][j] = sum over rows of value * oh_a[i] * oh_b[j].
+
+    8-bit limbs: TPU MXU matmuls default to bf16 operands (8 mantissa
+    bits); limb values <= 255 convert exactly and panel sums stay
+    < 2^21, exact in the f32 accumulator.
     """
-    la = 11
+    la = 8
     n_l = max(1, -(-bits // la))
     out = None
     for i in range(n_l):
@@ -119,7 +123,10 @@ def _pair_bin_int(oh_a, oh_b, values, bits: int):
 
 
 def _pair_bin_float(oh_a, oh_b, values_f64):
-    """[N, N] f64 pair binning via double-float (hi+lo) f32 einsums."""
+    """[N, N] f64 pair binning via double-float (hi+lo) f32 einsums.
+
+    precision=HIGHEST forces true-f32 MXU passes (the bf16 default
+    would destroy the double-float decomposition)."""
     v_hi = values_f64.astype(jnp.float32)
     v_lo = (values_f64 - v_hi.astype(jnp.float64)).astype(jnp.float32)
     out = jnp.zeros(
@@ -131,6 +138,7 @@ def _pair_bin_float(oh_a, oh_b, values_f64):
             oh_a * v[..., None],
             oh_b,
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         out = out + part.astype(jnp.float64).sum(axis=0)
     return out

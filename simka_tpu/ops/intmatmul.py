@@ -45,7 +45,11 @@ def binned_sum(values, bins, n_bins: int, bits: int = 33):
         == jnp.arange(n_bins, dtype=jnp.int32)[None, None, :]
     ).astype(jnp.float32)
 
-    la = 11  # BLOCK_ROWS * (2^11 - 1) < 2^24: exact in f32
+    # 8-bit limbs: TPU MXU f32 matmuls default to bf16 operands
+    # (8 mantissa bits), so limb values must stay <= 255 to convert
+    # exactly; panel sums <= 255 * BLOCK_ROWS < 2^21 stay exact in the
+    # f32 accumulator
+    la = 8
     n_l = -(-bits // la)
     out = jnp.zeros((n_bins,), jnp.int64)
     for i in range(n_l):
@@ -86,12 +90,15 @@ def exact_int_matmul(a, b, a_bits: int = 32, b_bits: int = 1):
     a3 = a.reshape(nb, BLOCK_ROWS, N)
     b3 = b.reshape(nb, BLOCK_ROWS, M)
 
+    # la + lb <= 11 keeps panel sums < 2^24 (f32-exact); each limb
+    # <= 8 bits so values convert exactly through the MXU's bf16
+    # operand path
     budget = 11
     if b_bits == 1:
-        la, lb = budget - 1, 1
+        la, lb = min(budget - 1, 8), 1
     else:
-        la = budget // 2
-        lb = budget - la
+        la = min(budget // 2, 8)
+        lb = min(budget - la, 8)
     n_a = -(-a_bits // la)
     n_b = -(-b_bits // lb)
 
