@@ -334,59 +334,63 @@ def _stats_from_rows(
         solid_per_bank = jax.lax.psum(solid_per_bank, psum_axis)
         chord_n2_per_bank = jax.lax.psum(chord_n2_per_bank, psum_axis)
 
-    # ---- pass 2: segment ids over the kept subsequence ----
-    # Rows arrive (kmer, sample)-sorted (count path: pass 1's sort;
-    # spectra path: its own pre-sort); kept rows form an ordered
-    # subsequence with non-kept rows interspersed. Segment boundaries
-    # compare each kept row against its PREVIOUS kept row (prefix-max
-    # of kept positions + gathers) -- no second sort.
-    prev_tagged = jax.lax.cummax(
-        jnp.where(kept, idx, jnp.int32(-1))
-    )
-    prevk = jnp.concatenate(
-        [jnp.array([-1], jnp.int32), prev_tagged[:-1]]
-    )
-    safe_prev = jnp.clip(prevk, 0, E - 1)
-    differs = prevk < 0
-    for w in words:
-        differs = differs | (w[safe_prev] != w)
-    newk = kept & differs
-    seg_raw = jnp.cumsum(newk.astype(jnp.int32)) - 1
-    seg = jnp.where(kept, seg_raw, E)
-    n_distinct = jnp.sum(newk.astype(jnp.int64))
+    # ---- pass 2: group surviving rows by kmer (the join) ----
+    # A second sort pushes dropped rows to the end so kept rows are
+    # CONTIGUOUS: pair iteration then reads fixed-offset shifted
+    # slices, which are contiguous DMA on TPU. (A gather-chain variant
+    # that avoided this sort benchmarked 40x slower on TPU -- gathers
+    # are as serialized as scatters there.) sid participates as a sort
+    # key so within a k-mer rows are sample-ascending: every
+    # co-present pair appears exactly once as (a, b) with a < b.
+    words_k = tuple(jnp.where(kept, w, SENTINEL) for w in words)
+    sorted2 = jax.lax.sort((*words_k, sid, count), num_keys=nw + 1)
+    words2 = sorted2[:nw]
+    sid2 = sorted2[nw]
+    cnt2 = sorted2[nw + 1]
+    kept2 = words2[0] != SENTINEL
+    changed = words2[0][1:] != words2[0][:-1]
+    for w in words2[1:]:
+        changed = changed | (w[1:] != w[:-1])
+    newk = jnp.concatenate([jnp.array([True]), changed]) & kept2
+    seg = jnp.cumsum(newk.astype(jnp.int32)) - 1
+    seg_e = jnp.where(kept2, seg, E)
+    n_distinct = (
+        jnp.max(jnp.where(kept2, seg, -1)) + 1
+    ).astype(jnp.int64)
 
-    # next kept successor of each row (E = none)
-    nk1 = _suffix_min(
-        jnp.concatenate(
-            [jnp.where(kept, idx, E)[1:], jnp.array([E], jnp.int32)]
-        )
+    # per-segment multiplicity by run-length (no scatter)
+    seg_starts_after = jnp.concatenate(
+        [jnp.where(newk, idx, E)[1:], jnp.array([E], jnp.int32)]
     )
+    seg_next = _suffix_min(seg_starts_after)
+    n_valid = jnp.sum(kept2.astype(jnp.int32))
+    seg_len = jnp.minimum(seg_next, n_valid) - idx  # valid at newk rows
+    d_max = jnp.max(jnp.where(newk, seg_len, 0))
+    n_shared = jnp.sum(newk & (seg_len >= 2)).astype(jnp.int64)
 
-    def pairs_at(cur):
-        safe = jnp.clip(cur, 0, E - 1)
-        return kept & (cur < E) & (seg == seg[safe]), safe
-
-    m1, _ = pairs_at(nk1)
-    n_shared = jnp.sum((newk & m1).astype(jnp.int64))
+    # ---- pass 3: shift-pair accumulation ----
+    # pad so a dynamic_slice at offset d (< N) never reads OOB
+    padlen = N + 1
+    seg_p = jnp.concatenate([seg_e, jnp.full((padlen,), E, jnp.int32)])
+    sid_p = jnp.concatenate([sid2, jnp.zeros((padlen,), sid2.dtype)])
+    cnt_p = jnp.concatenate([cnt2, jnp.zeros((padlen,), cnt2.dtype)])
+    kept_p = jnp.concatenate(
+        [kept2, jnp.zeros((padlen,), jnp.bool_)]
+    )
 
     oh_a = (
-        _panels(jnp.where(kept, sid, N))[..., None]
+        _panels(jnp.where(kept2, sid2, N))[..., None]
         == jnp.arange(N, dtype=jnp.int32)[None, None, :]
     ).astype(jnp.float32)
     bank_range = jnp.arange(N, dtype=jnp.int32)[None, None, :]
     K = solid_per_bank  # global totals
-    sid2 = sid
-    cnt2 = count
 
-    # ---- pass 3: successor-chain pair accumulation ----
-    # iteration d pairs each kept row with its d-th kept successor;
-    # the chain walks via one gather per iteration and stops when no
-    # same-segment pair remains (d exceeded every multiplicity)
-    def shift_body(state):
-        cur, _, acc = state
-        m, safe = pairs_at(cur)
-        sid_b = sid[safe]
-        cnt_b = count[safe]
+    def shift_body(d, acc):
+        seg_b = jax.lax.dynamic_slice_in_dim(seg_p, d, E)
+        sid_b = jax.lax.dynamic_slice_in_dim(sid_p, d, E)
+        cnt_b = jax.lax.dynamic_slice_in_dim(cnt_p, d, E)
+        kept_b = jax.lax.dynamic_slice_in_dim(kept_p, d, E)
+        m = kept2 & kept_b & (seg_e == seg_b)
 
         va = jnp.where(m, cnt2, 0).astype(jnp.int64)
         vb = jnp.where(m, cnt_b, 0).astype(jnp.int64)
@@ -455,10 +459,7 @@ def _stats_from_rows(
             out["kl"] = acc["kl"] + _pair_bin_float(
                 oh_a, oh_b, _panels(jnp.where(m, d1 + d2, 0.0))
             )
-
-        cur2 = jnp.where(cur < E, nk1[jnp.clip(cur, 0, E - 1)], E)
-        m2, _ = pairs_at(cur2)
-        return cur2, jnp.any(m2), out
+        return out
 
     acc0 = {
         "shared_kmers_ab": jnp.zeros((N, N), jnp.int64),
@@ -476,13 +477,11 @@ def _stats_from_rows(
         acc0 = jax.tree.map(
             lambda x: jax.lax.pvary(x, vary_axes), acc0
         )
-    _, _, acc = jax.lax.while_loop(
-        lambda s: s[1], shift_body, (nk1, jnp.any(m1), acc0)
-    )
+    acc = jax.lax.fori_loop(1, d_max, shift_body, acc0)
 
     out = JoinStats(
-        nb_distinct=n_distinct.astype(jnp.int64),
-        nb_shared=n_shared.astype(jnp.int64),
+        nb_distinct=n_distinct,
+        nb_shared=n_shared,
         distinct_per_bank=distinct_per_bank,
         solid_per_bank=solid_per_bank,
         chord_n2_per_bank=chord_n2_per_bank,
