@@ -13,10 +13,12 @@ Design:
   2. the per-sample abundance filter (reference applies it at count
      time, MiniKC.hpp:56 -- order matters!) drops rows *before* the
      cross-sample join;
-  3. a second sort over surviving rows groups equal k-mers across
-     samples -> the abundance-vector join; rows within a k-mer are in
-     ascending sample order, so every co-present pair appears exactly
-     once as (a, b) with a < b at some fixed offset d;
+  3. surviving rows are made contiguous by a stable COMPACTION (the
+     pass-1 order is already (kmer, sample)-ascending and dropping
+     rows preserves it; see ops/compact.py) -> the abundance-vector
+     join; rows within a k-mer are in ascending sample order, so every
+     co-present pair appears exactly once as (a, b) with a < b at some
+     fixed offset d;
   4. pair statistics are accumulated SCATTER-FREE: for each offset
      d in 1..max_multiplicity-1, neighbor rows d apart that share a
      k-mer form pairs, and each value type is binned into the [N, N]
@@ -50,6 +52,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from simka_tpu.ops.compact import compact_rows
 from simka_tpu.ops.intmatmul import BLOCK_ROWS, binned_sum
 from simka_tpu.ops.kmers import SENTINEL
 
@@ -267,23 +270,24 @@ def join_stats_from_spectra(
     """
     words = tuple(words)
     nw = len(words)
-    # _stats_from_rows requires (kmer, sample)-sorted rows; sid is a
-    # key so within a k-mer the rows come out sample-ascending (the
-    # a < b pair invariant)
+    # The abundance filter depends only on the row itself here, so
+    # masking dropped rows to SENTINEL *before* the sort folds the
+    # compaction into it: kept rows come out contiguous, (kmer,
+    # sample)-ascending (sid is a key -> the a < b pair invariant),
+    # and no second pass is needed.
+    dropped = (counts < abundance_min) | (counts > abundance_max)
+    words = (jnp.where(dropped, SENTINEL, words[0]), *words[1:])
     sorted_ = jax.lax.sort((*words, sid, counts), num_keys=nw + 1)
     words = sorted_[:nw]
     sid = sorted_[nw]
     counts = sorted_[nw + 1]
-    kept = (
-        (words[0] != SENTINEL)
-        & (counts >= abundance_min)
-        & (counts <= abundance_max)
-    )
+    kept = words[0] != SENTINEL
     return _stats_from_rows(
         words,
         sid,
         counts,
         kept,
+        rows_compacted=True,
         n_banks=n_banks,
         simple=simple,
         complex_=complex_,
@@ -305,8 +309,15 @@ def _stats_from_rows(
     count_bits: int,
     vary_axes: tuple,
     psum_axis: str,
+    rows_compacted: bool = False,
 ) -> JoinStats:
-    """Shared pass 2+3 over (kmer, sample, count) rows with validity."""
+    """Shared pass 2+3 over (kmer, sample, count) rows with validity.
+
+    ``rows_compacted=True`` promises kept rows are already contiguous
+    at the front in (kmer, sample)-ascending order with SENTINEL
+    first-words everywhere else (callers that fold the drop mask into
+    their own sort), skipping the compaction pass.
+    """
     nw = len(words)
     E = words[0].shape[0]
     N = n_banks
@@ -335,18 +346,26 @@ def _stats_from_rows(
         chord_n2_per_bank = jax.lax.psum(chord_n2_per_bank, psum_axis)
 
     # ---- pass 2: group surviving rows by kmer (the join) ----
-    # A second sort pushes dropped rows to the end so kept rows are
+    # Dropped rows are removed by a stable COMPACTION so kept rows are
     # CONTIGUOUS: pair iteration then reads fixed-offset shifted
-    # slices, which are contiguous DMA on TPU. (A gather-chain variant
-    # that avoided this sort benchmarked 40x slower on TPU -- gathers
-    # are as serialized as scatters there.) sid participates as a sort
-    # key so within a k-mer rows are sample-ascending: every
-    # co-present pair appears exactly once as (a, b) with a < b.
-    words_k = tuple(jnp.where(kept, w, SENTINEL) for w in words)
-    sorted2 = jax.lax.sort((*words_k, sid, count), num_keys=nw + 1)
-    words2 = sorted2[:nw]
-    sid2 = sorted2[nw]
-    cnt2 = sorted2[nw + 1]
+    # slices, which are contiguous DMA on TPU. Pass-1 order is already
+    # (kmer, sample)-ascending, so compaction preserves the grouping
+    # and the a < b pair invariant -- no re-sort needed. (A
+    # gather-chain variant benchmarked 40x slower on TPU -- gathers
+    # are as serialized as scatters there; the original full-width
+    # re-sort was ~30-40% of the fused kernel's runtime.)
+    if rows_compacted:
+        words2, sid2, cnt2 = words, sid, count
+    else:
+        compacted = compact_rows(
+            (*words, sid, count),
+            kept,
+            fills=(SENTINEL,) * nw + (0, 0),
+            vary_axes=vary_axes,
+        )
+        words2 = compacted[:nw]
+        sid2 = compacted[nw]
+        cnt2 = compacted[nw + 1]
     kept2 = words2[0] != SENTINEL
     changed = words2[0][1:] != words2[0][:-1]
     for w in words2[1:]:
