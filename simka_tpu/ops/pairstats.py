@@ -1,0 +1,295 @@
+"""Fused Pallas pair-statistics kernel (default distance channels).
+
+Replaces the XLA shift-einsum accumulation of ops/countjoin.py pass 3
+for the always-on channels (the reference's updateDistanceDefault,
+src/core/SimkaAlgorithm.hpp:356-378): per co-present pair (a, b) with
+a < b inside each k-mer segment,
+
+    shared_kmers_ab[a, b] += C_a        (reference :369)
+    shared_kmers_ba[a, b] += C_b        (reference :370)
+    shared_distinct[a, b] += 1          (reference :371)
+    bray[a, b]            += min(C_a, C_b)  (reference :374)
+
+plus the per-bank totals (distinct_per_bank, solid_per_bank) folded in
+for free (see below).
+
+Why Pallas: the einsum path materializes [E, N] float one-hots in HBM
+for every (shift, limb-channel) -- tens of GB of traffic.  Here the
+row stream (seg, sid, cnt; ~12 B/row) is read once; one-hots live only
+in VMEM; every (shift, limb-channel) pair becomes columns of ONE
+[B, 128]x[B, 128] bf16 MXU matmul per shift whose f32 outputs are
+exact by construction (values <= 255 are bf16-exact; per-panel sums
+stay < 2^24) and are accumulated across panels in exact i32 hi/lo
+pairs in VMEM scratch (the grid is sequential on TPU).
+
+Column packing: left[:, c*N + i] = limb_c(value_{c,d})[r] * [sid_r=i],
+right[:, j] = [sid_{r+d} = j] * same_segment_d[r].  The d=1 matmul
+carries one extra right column holding the row validity mask, which
+makes out[(c, i), N] the UNMASKED per-bank limb sums: solid_per_bank
+falls out of the ab channel and distinct_per_bank out of the distinct
+channel with zero extra matmuls.
+
+Channels whose pair values need float64 (chord, Kullback-Leibler) or
+global per-bank totals (Whittaker) stay on the einsum path in
+countjoin.py -- they are only active under -simple-dist/-complex-dist.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+LIMB = 8  # bits per limb; values <= 255 are bf16-exact on the MXU
+
+
+def _num_limbs(bits: int) -> int:
+    return max(1, -(-bits // LIMB))
+
+
+def _channel_layout(n_banks: int, n_limbs: int):
+    """(channel -> (group, row_base)) placement that never straddles a
+    128-column group boundary."""
+    n_ch = 3 * n_limbs + 1  # ab limbs, ba limbs, bray limbs, distinct
+    per_group = max(1, LANES // n_banks)
+    n_groups = -(-n_ch // per_group)
+    place = [
+        (c // per_group, (c % per_group) * n_banks) for c in range(n_ch)
+    ]
+    return n_ch, per_group, n_groups, place
+
+
+def _kernel(
+    seg_ref,
+    sid_ref,
+    cnt_ref,
+    seg_h_ref,
+    sid_h_ref,
+    cnt_h_ref,
+    out_ref,
+    acc_ref,
+    *,
+    n_banks: int,
+    n_limbs: int,
+    n_groups: int,
+    per_group: int,
+    panel: int,
+):
+    i = pl.program_id(0)
+    n_panels = pl.num_programs(0)
+    N = n_banks
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # [2B, 1] windows spanning this panel and its halo (the next
+    # panel); lifted to 2-D immediately -- Mosaic cannot reshape 1-D
+    # BOOL vectors, so every mask must be born 2-D
+    def window(a_ref, b_ref):
+        return jnp.concatenate(
+            [a_ref[...][:, None], b_ref[...][:, None]], axis=0
+        )
+
+    seg_w = window(seg_ref, seg_h_ref)
+    sid_w = window(sid_ref, sid_h_ref)
+    cnt_w = window(cnt_ref, cnt_h_ref)
+
+    seg_a = seg_w[:panel]
+    sid_a = sid_w[:panel]
+    cnt_a = cnt_w[:panel]
+    kept_a = seg_a >= jnp.int32(0)  # [panel, 1] bool
+
+    # Both matmul operands are built purely ELEMENTWISE over
+    # [panel, 128] from lane iotas (Mosaic cannot concatenate narrow
+    # pieces along lanes).  In column group g, lane q of the left
+    # operand holds channel c = g*per_group + q // N, bank i = q % N;
+    # channel c maps to base value b = c // n_limbs (ab=cnt_a,
+    # ba=cnt_b, bray=min) and limb l = c % n_limbs, except the last
+    # channel (distinct, base 1).  The limb extraction is a per-lane
+    # VARIABLE shift -- an ordinary VPU op.
+    # (all scalar constants as i32 -- under x64, Python ints promote
+    # through i64 converts that Mosaic cannot lower)
+    i32 = jnp.int32
+    q = jax.lax.broadcasted_iota(jnp.int32, (panel, LANES), 1)
+    i_q = q % i32(N)
+    n_ch = 3 * n_limbs + 1
+    lane_maps = []
+    for g in range(n_groups):
+        cg = q // i32(N) + i32(g * per_group)
+        b_qg = jnp.where(cg >= i32(3 * n_limbs), i32(3), cg // i32(n_limbs))
+        l_qg = jnp.where(cg >= i32(3 * n_limbs), i32(0), cg % i32(n_limbs))
+        valid_g = (cg < i32(n_ch)) & (q < i32(per_group * N))
+        lane_maps.append((b_qg, l_qg, valid_g))
+
+    def left_operand(g, cnt_b):
+        b_qg, l_qg, valid_g = lane_maps[g]
+        i32 = jnp.int32
+        base = jnp.where(
+            b_qg == i32(0),
+            cnt_a,
+            jnp.where(
+                b_qg == i32(1),
+                cnt_b,
+                jnp.where(
+                    b_qg == i32(2), jnp.minimum(cnt_a, cnt_b), i32(1)
+                ),
+            ),
+        )
+        limb = (base >> (i32(LIMB) * l_qg)) & i32((1 << LIMB) - 1)
+        oh = (sid_a == i_q) & valid_g
+        return jnp.where(oh, limb, i32(0)).astype(jnp.float32)
+
+    step_gs = tuple(
+        jnp.zeros((LANES, LANES), jnp.float32) for _ in range(n_groups)
+    )
+
+    for d in range(1, n_banks):
+        seg_b = seg_w[d : d + panel]
+        sid_b = sid_w[d : d + panel]
+        cnt_b = cnt_w[d : d + panel]
+        m = kept_a & (seg_a == seg_b)  # [panel, 1]
+        any_m = jnp.max(m.astype(jnp.float32)) > 0.0
+
+        # right operand: masked one-hot of the partner bank; the d=1
+        # matmul adds the validity column (lane N) for the per-bank
+        # totals
+        one = jnp.float32(1.0)
+        right = jnp.where((sid_b == q) & m, one, jnp.float32(0.0))
+        if d == 1:
+            right = jnp.where((q == jnp.int32(N)) & kept_a, one, right)
+
+        def do_shift(step_gs, cnt_b=cnt_b, right=right):
+            rb = right.astype(jnp.bfloat16)
+            out = []
+            for g in range(n_groups):
+                part = jax.lax.dot_general(
+                    left_operand(g, cnt_b).astype(jnp.bfloat16),
+                    rb,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                out.append(step_gs[g] + part)
+            return tuple(out)
+
+        if d == 1:
+            # always runs: carries the per-bank-total column
+            step_gs = do_shift(step_gs)
+        else:
+            step_gs = jax.lax.cond(any_m, do_shift, lambda s: s, step_gs)
+
+    # exact i32 hi/lo accumulation across panels (step values are
+    # integers < 2^24, exact in f32)
+    for g in range(n_groups):
+        s_int = step_gs[g].astype(jnp.int32)
+        acc_ref[0, g] = acc_ref[0, g] + (s_int >> jnp.int32(16))
+        acc_ref[1, g] = acc_ref[1, g] + (s_int & jnp.int32(0xFFFF))
+
+    @pl.when(i == n_panels - 1)
+    def _():
+        out_ref[...] = acc_ref[...]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_banks", "count_bits", "panel", "interpret")
+)
+def pair_stats_default(
+    seg,
+    sid,
+    cnt,
+    *,
+    n_banks: int,
+    count_bits: int = 32,
+    panel: int = 2048,
+    interpret: bool = False,
+):
+    """All default-channel pair statistics in one pass over the rows.
+
+    Args:
+      seg: [E] int32 segment id per row, -1 for dropped/padding rows.
+        Rows must be segment-grouped and sample-ascending within a
+        segment (the compacted pass-2 layout of countjoin.py).
+      sid: [E] int32 sample ids (0 <= sid < n_banks on kept rows).
+      cnt: [E] int32 per-(kmer, sample) counts, < 2**count_bits.
+
+    Returns dict with int64 arrays: shared_kmers_ab, shared_kmers_ba,
+    shared_distinct, bray (all [N, N], upper-triangle pair sums), and
+    distinct_per_bank, solid_per_bank ([N]).
+    """
+    N = n_banks
+    if N < 2 or N > LANES - 1:
+        raise ValueError("pair_stats_default supports 2 <= n_banks <= 127")
+    n_limbs = _num_limbs(count_bits)
+    n_ch, per_group, n_groups, place = _channel_layout(N, n_limbs)
+
+    E = seg.shape[0]
+    n_panels = max(1, -(-E // panel))
+    padded = (n_panels + 1) * panel  # extra panel = halo for the last
+    seg = jnp.pad(seg, (0, padded - E), constant_values=-1)
+    sid = jnp.pad(sid, (0, padded - E))
+    cnt = jnp.pad(cnt, (0, padded - E))
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel,
+            n_banks=N,
+            n_limbs=n_limbs,
+            n_groups=n_groups,
+            per_group=per_group,
+            panel=panel,
+        ),
+        grid=(n_panels,),
+        in_specs=[
+            pl.BlockSpec((panel,), lambda i: (i,)),
+            pl.BlockSpec((panel,), lambda i: (i,)),
+            pl.BlockSpec((panel,), lambda i: (i,)),
+            pl.BlockSpec((panel,), lambda i: (i + 1,)),
+            pl.BlockSpec((panel,), lambda i: (i + 1,)),
+            pl.BlockSpec((panel,), lambda i: (i + 1,)),
+        ],
+        out_specs=pl.BlockSpec(
+            (2, n_groups, LANES, LANES),
+            # constant block: i32 zeros (Python ints trip x64->i64)
+            lambda i: (i * 0, i * 0, i * 0, i * 0),
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (2, n_groups, LANES, LANES), jnp.int32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, n_groups, LANES, LANES), jnp.int32)
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
+        interpret=interpret,
+    )(seg, sid, cnt, seg, sid, cnt)
+
+    full = (out[0].astype(jnp.int64) << 16) + out[1].astype(jnp.int64)
+
+    def channel(c):
+        g, row = place[c]
+        return full[g, row : row + N, :]
+
+    def int_channel(base):
+        acc = jnp.zeros((N, N + 1), jnp.int64)
+        for l in range(n_limbs):
+            acc = acc + (channel(base + l)[:, : N + 1] << (LIMB * l))
+        return acc
+
+    ab = int_channel(0)
+    ba = int_channel(n_limbs)
+    bray = int_channel(2 * n_limbs)
+    dist = channel(3 * n_limbs)[:, : N + 1]
+
+    return {
+        "shared_kmers_ab": ab[:, :N],
+        "shared_kmers_ba": ba[:, :N],
+        "shared_distinct": dist[:, :N],
+        "bray": bray[:, :N],
+        "solid_per_bank": ab[:, N],
+        "distinct_per_bank": dist[:, N],
+    }
