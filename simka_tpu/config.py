@@ -51,11 +51,12 @@ class SimkaConfig:
     n_policy: str = "skip"  # "skip": k-mers spanning non-ACGT are dropped
 
     def __post_init__(self):
-        if self.kmer_size < 1 or self.kmer_size > 63:
+        if self.kmer_size < 1 or self.kmer_size > 127:
             raise ValueError(
-                f"kmer_size must be in [1, 63] (got {self.kmer_size}); "
+                f"kmer_size must be in [1, 127] (got {self.kmer_size}); "
                 "this matches the reference's compiled spans "
-                "(gatb-core-klist 32..128, CMakeLists.txt:66)"
+                "(gatb-core-klist 32..128 => k up to 127, "
+                "CMakeLists.txt:66-71)"
             )
         if not (0.0 <= self.min_read_shannon_index <= 2.0):
             # the reference clamps to [0, 2] (SimkaAlgorithm.cpp:185-197)

@@ -320,6 +320,62 @@ def count_dataset_spectrum(
     return uw, counts, len(seqs)
 
 
+def count_one_dataset(d, config: SimkaConfig, cap: int, ckpt=None,
+                      log=lambda m: None):
+    """Count phase for one dataset: checkpoint reuse plus the
+    reference's retry-x4 wrapper (simkaCountProcess,
+    src/minikc/SimkaCountProcess.cpp:21-28).
+
+    Returns (words, counts, n_reads, resumed). Shared by the
+    single-host and multi-host orchestrators so both have identical
+    failure-recovery and resume semantics.
+    """
+    key = None
+    if ckpt is not None:
+        from simka_tpu.core.checkpoint import count_key
+
+        key = count_key(
+            d.files,
+            config.kmer_size,
+            config.min_read_size,
+            config.min_read_shannon_index,
+            cap,
+            config.min_kmer_shannon_index,
+        )
+        cached = ckpt.load(d.id, key)
+        if cached is not None:
+            words, counts, n = cached
+            log(f"count {d.id}: resumed from checkpoint "
+                f"({len(counts)} distinct k-mers)")
+            return words, counts, n, True
+    last_err = None
+    for attempt in range(4):
+        try:
+            seqs = read_dataset(
+                d.banks,
+                config.min_read_size,
+                config.min_read_shannon_index,
+                max_reads=cap,
+            )
+            words, counts, n = count_dataset_spectrum(
+                seqs,
+                config.kmer_size,
+                min_kmer_shannon_index=config.min_kmer_shannon_index,
+            )
+            last_err = None
+            break
+        except (OSError, RuntimeError) as e:
+            last_err = e
+            log(f"count {d.id}: attempt {attempt + 1} failed ({e}); "
+                "retrying")
+    if last_err is not None:
+        raise last_err
+    if ckpt is not None:
+        ckpt.save(d.id, key, words, counts, n)
+    log(f"count {d.id}: {n} reads -> {len(counts)} distinct k-mers")
+    return words, counts, n, False
+
+
 def run_simka(config: SimkaConfig) -> Dict[str, np.ndarray]:
     """The `simka` tool: input file -> distance matrices on disk.
 
@@ -362,59 +418,18 @@ def run_simka(config: SimkaConfig) -> Dict[str, np.ndarray]:
             print(f"[simka-tpu] {msg}", flush=True)
 
     if config.output_tmp_dir:
-        from simka_tpu.core.checkpoint import CountCheckpoint, count_key
+        from simka_tpu.core.checkpoint import CountCheckpoint
 
         ckpt = CountCheckpoint(config.output_tmp_dir)
         spectra, nb_reads = [], []
         total_reads = 0
         with metrics.stage("count"):
             for d in datasets:
-                key = count_key(
-                    d.files,
-                    config.kmer_size,
-                    config.min_read_size,
-                    config.min_read_shannon_index,
-                    cap,
-                    config.min_kmer_shannon_index,
+                words, counts, n, resumed = count_one_dataset(
+                    d, config, cap, ckpt=ckpt, log=log
                 )
-                cached = ckpt.load(d.id, key)
-                if cached is not None:
-                    words, counts, n = cached
+                if resumed:
                     metrics.count("datasets_resumed", 1)
-                    log(f"count {d.id}: resumed from checkpoint "
-                        f"({len(counts)} distinct k-mers)")
-                else:
-                    # the reference re-runs a failed count job up to 4
-                    # times (simkaCountProcess, SimkaCountProcess.cpp:21-28)
-                    last_err = None
-                    for attempt in range(4):
-                        try:
-                            seqs = read_dataset(
-                                d.banks,
-                                config.min_read_size,
-                                config.min_read_shannon_index,
-                                max_reads=cap,
-                            )
-                            words, counts, n = count_dataset_spectrum(
-                                seqs,
-                                config.kmer_size,
-                                min_kmer_shannon_index=config.min_kmer_shannon_index,
-                            )
-                            last_err = None
-                            break
-                        except (OSError, RuntimeError) as e:
-                            last_err = e
-                            log(
-                                f"count {d.id}: attempt "
-                                f"{attempt + 1} failed ({e}); retrying"
-                            )
-                    if last_err is not None:
-                        raise last_err
-                    ckpt.save(d.id, key, words, counts, n)
-                    log(
-                        f"count {d.id}: {n} reads -> "
-                        f"{len(counts)} distinct k-mers"
-                    )
                 spectra.append((words, counts))
                 nb_reads.append(n)
                 total_reads += n

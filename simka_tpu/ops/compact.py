@@ -96,7 +96,9 @@ def compact_rows(
         for a, f in zip(arrays, fills)
     )
     if vary_axes:
-        outs = tuple(jax.lax.pvary(o, vary_axes) for o in outs)
+        outs = tuple(
+            jax.lax.pcast(o, vary_axes, to="varying") for o in outs
+        )
 
     def body(b, outs):
         off = offs[b]

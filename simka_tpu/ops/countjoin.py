@@ -98,7 +98,9 @@ def _panels(x, fill=0):
     return x.reshape(nb, BLOCK_ROWS)
 
 
-def _pair_bin_int(oh_a, oh_b, values, bits: int):
+def _pair_bin_int(
+    oh_a, oh_b, values, bits: int, max_value=None, vary_axes: tuple = ()
+):
     """Exact [N, N] integer pair binning via limb-split f32 einsums.
 
     oh_a/oh_b: [nb, B, N] f32 one-hots; values: [nb, B] int64 >= 0,
@@ -108,19 +110,48 @@ def _pair_bin_int(oh_a, oh_b, values, bits: int):
     8-bit limbs: TPU MXU matmuls default to bf16 operands (8 mantissa
     bits); limb values <= 255 convert exactly and panel sums stay
     < 2^21, exact in the f32 accumulator.
+
+    ``max_value``: optional traced i64 upper bound on ``values``.
+    Limbs above the bound are skipped AT RUNTIME via lax.cond --
+    typical low-coverage metagenomes have counts << 256, so the
+    worst-case ``bits`` static bound would otherwise pay 4x the
+    einsums (the reference never pays this: its accumulators are
+    plain u64 adds, SimkaAlgorithm.hpp:369-374).
     """
     la = 8
     n_l = max(1, -(-bits // la))
+    N_a = oh_a.shape[-1]
+    N_b = oh_b.shape[-1]
     out = None
     for i in range(n_l):
-        limb = ((values >> (la * i)) & ((1 << la) - 1)).astype(jnp.float32)
-        part = jnp.einsum(
-            "bri,brj->bij",
-            oh_a * limb[..., None],
-            oh_b,
-            preferred_element_type=jnp.float32,
-        )
-        term = part.astype(jnp.int64).sum(axis=0) << (la * i)
+
+        def term_i(i=i):
+            limb = ((values >> (la * i)) & ((1 << la) - 1)).astype(
+                jnp.float32
+            )
+            part = jnp.einsum(
+                "bri,brj->bij",
+                oh_a * limb[..., None],
+                oh_b,
+                preferred_element_type=jnp.float32,
+            )
+            return part.astype(jnp.int64).sum(axis=0) << (la * i)
+
+        if i == 0 or max_value is None:
+            term = term_i()
+        else:
+
+            def zeros_i():
+                z = jnp.zeros((N_a, N_b), jnp.int64)
+                if vary_axes:
+                    # under shard_map the skipped branch must carry the
+                    # same varying axes as the computed one
+                    z = jax.lax.pcast(z, vary_axes, to="varying")
+                return z
+
+            term = jax.lax.cond(
+                max_value >= (1 << (la * i)), term_i, zeros_i
+            )
         out = term if out is None else out + term
     return out
 
@@ -252,6 +283,7 @@ def join_stats_from_spectra(
     counts,
     abundance_min,
     abundance_max,
+    solid_override=None,
     *,
     n_banks: int,
     simple: bool = False,
@@ -267,6 +299,13 @@ def join_stats_from_spectra(
     reference's partition files, reloaded on resume / when adding new
     datasets with -keep-tmp, README.md:205-207). Rows need not be
     sorted; SENTINEL first-words mark padding.
+
+    ``solid_override``: optional [n_banks] i64 GLOBAL per-bank solid
+    totals. The Whittaker/Kullback-Leibler pair terms depend on
+    whole-sample totals (the reference's merge reads them from the
+    count_synchro metadata, SimkaDistance.cpp:114-152); when this call
+    only sees one hash range of the k-mer space (the out-of-core
+    sweep, core/sweep.py), the caller must inject the global totals.
     """
     words = tuple(words)
     nw = len(words)
@@ -288,6 +327,7 @@ def join_stats_from_spectra(
         counts,
         kept,
         rows_compacted=True,
+        solid_override=solid_override,
         n_banks=n_banks,
         simple=simple,
         complex_=complex_,
@@ -310,6 +350,7 @@ def _stats_from_rows(
     vary_axes: tuple,
     psum_axis: str,
     rows_compacted: bool = False,
+    solid_override=None,
 ) -> JoinStats:
     """Shared pass 2+3 over (kmer, sample, count) rows with validity.
 
@@ -402,7 +443,13 @@ def _stats_from_rows(
         == jnp.arange(N, dtype=jnp.int32)[None, None, :]
     ).astype(jnp.float32)
     bank_range = jnp.arange(N, dtype=jnp.int32)[None, None, :]
-    K = solid_per_bank  # global totals
+    # global totals feeding the Whittaker/KL pair terms; a sweep over
+    # hash ranges must inject the whole-space totals here
+    K = solid_per_bank if solid_override is None else solid_override
+    # runtime bound on every count-derived einsum value: lets
+    # _pair_bin_int skip high limbs when coverage is low (the common
+    # case; see its docstring)
+    max_cnt = jnp.max(jnp.where(kept2, cnt2, 0)).astype(jnp.int64)
 
     def shift_body(d, acc):
         seg_b = jax.lax.dynamic_slice_in_dim(seg_p, d, E)
@@ -421,16 +468,19 @@ def _stats_from_rows(
 
         out = dict(acc)
         out["shared_kmers_ab"] = acc["shared_kmers_ab"] + _pair_bin_int(
-            oh_a, oh_b, va_p, count_bits
+            oh_a, oh_b, va_p, count_bits, max_value=max_cnt,
+            vary_axes=vary_axes,
         )
         out["shared_kmers_ba"] = acc["shared_kmers_ba"] + _pair_bin_int(
-            oh_a, oh_b, vb_p, count_bits
+            oh_a, oh_b, vb_p, count_bits, max_value=max_cnt,
+            vary_axes=vary_axes,
         )
         out["shared_distinct"] = acc["shared_distinct"] + _pair_bin_int(
             oh_a, oh_b, _panels(m.astype(jnp.int64)), 1
         )
         out["bray"] = acc["bray"] + _pair_bin_int(
-            oh_a, oh_b, jnp.minimum(va_p, vb_p), count_bits
+            oh_a, oh_b, jnp.minimum(va_p, vb_p), count_bits,
+            max_value=max_cnt, vary_axes=vary_axes,
         )
         if simple:
             prod = (va_p * vb_p).astype(jnp.float64)
@@ -439,6 +489,8 @@ def _stats_from_rows(
                 oh_b,
                 jnp.floor(jnp.sqrt(prod)).astype(jnp.int64),
                 1 + count_bits,  # isqrt of a 2*count_bits product
+                max_value=max_cnt,  # isqrt(Ca*Cb) <= max(Ca, Cb)
+                vary_axes=vary_axes,
             )
             out["chord"] = acc["chord"] + _pair_bin_float(
                 oh_a, oh_b, prod
@@ -494,7 +546,7 @@ def _stats_from_rows(
         # under shard_map the loop body mixes in device-varying data;
         # the initial carry must carry the same varying axes
         acc0 = jax.tree.map(
-            lambda x: jax.lax.pvary(x, vary_axes), acc0
+            lambda x: jax.lax.pcast(x, vary_axes, to="varying"), acc0
         )
     acc = jax.lax.fori_loop(1, d_max, shift_body, acc0)
 

@@ -67,11 +67,13 @@ def run_simka_multihost(config) -> None:
     from simka_tpu.core.distances import compute_all_matrices
     from simka_tpu.core.output import write_all_matrices
     from simka_tpu.core.pipeline import (
-        count_dataset_spectrum,
+        count_one_dataset,
         read_dataset,
+        resolve_max_reads,
     )
     from simka_tpu.core.stats import SimkaStatistics
     from simka_tpu.io.dsl import check_input_validity, parse_input_file
+    from simka_tpu.utils.metrics import Metrics
 
     datasets = parse_input_file(config.input_filename)
     check_input_validity(datasets)
@@ -80,32 +82,72 @@ def run_simka_multihost(config) -> None:
     pid = jax.process_index()
     n_proc = jax.process_count()
     mine = datasets_for_process(n, pid, n_proc)
+    metrics = Metrics()
+    metrics.set("n_datasets", n)
+    metrics.set("n_processes", n_proc)
+
+    def log(msg):
+        if config.verbose:
+            print(f"[simka-tpu host {pid}] {msg}", flush=True)
+
+    # -max-reads 0 (auto) must resolve to the SAME cap on every host:
+    # each process counts the per-group reads of ITS datasets, the
+    # vectors are allgathered, and (min + mean) / 2 is taken over the
+    # global list (reference computeMaxReads semantics,
+    # src/core/SimkaAlgorithm.cpp:376-445).
+    if config.max_reads == 0:
+        local_counts = np.zeros(n, np.int64)
+        for s in mine:
+            local_counts[s] = len(
+                read_dataset(
+                    datasets[s].banks,
+                    config.min_read_size,
+                    config.min_read_shannon_index,
+                )
+            ) // max(len(datasets[s].banks), 1)
+        if n_proc > 1:
+            from jax.experimental import multihost_utils
+
+            local_counts = multihost_utils.process_allgather(
+                local_counts
+            ).sum(axis=0)
+        cap = resolve_max_reads(local_counts.tolist(), 0)
+        log(f"auto -max-reads resolved globally to {cap}")
+    else:
+        cap = resolve_max_reads([], config.max_reads)
+
+    ckpt = None
+    if config.output_tmp_dir:
+        from simka_tpu.core.checkpoint import CountCheckpoint
+
+        # per-host checkpoint dirs: hosts only ever recount their own
+        # manifest datasets (the reference's count_synchro sentinels
+        # live per-dataset on the shared FS, SimkaPotara.hpp:838-842)
+        ckpt = CountCheckpoint(
+            os.path.join(config.output_tmp_dir, f"host{pid}")
+        )
 
     word_parts, sids, cnts = [], [], []
     nb_reads = np.zeros(n, np.int64)
-    for s in mine:
-        seqs = read_dataset(
-            datasets[s].banks,
-            config.min_read_size,
-            config.min_read_shannon_index,
-            max_reads=max(config.max_reads, 0),
-        )
-        words, counts, nr = count_dataset_spectrum(
-            seqs, config.kmer_size
-        )
-        if not word_parts:
-            word_parts = [[] for _ in words]
-        for i, w in enumerate(words):
-            word_parts[i].append(w)
-        sids.append(np.full(words[0].shape, s, np.int32))
-        cnts.append(counts.astype(np.int32))
-        nb_reads[s] = nr
+    with metrics.stage("count"):
+        for s in mine:
+            words, counts, nr, resumed = count_one_dataset(
+                datasets[s], config, cap, ckpt=ckpt, log=log
+            )
+            if resumed:
+                metrics.count("datasets_resumed", 1)
+            if not word_parts:
+                word_parts = [[] for _ in words]
+            for i, w in enumerate(words):
+                word_parts[i].append(w)
+            sids.append(np.full(words[0].shape, s, np.int32))
+            cnts.append(counts.astype(np.int32))
+            nb_reads[s] = nr
+    metrics.count("reads", int(nb_reads.sum()))
 
     words = tuple(np.concatenate(p) for p in word_parts)
     sid = np.concatenate(sids)
     counts = np.concatenate(cnts)
-
-    from simka_tpu.parallel.sharded import make_mesh
 
     mesh = Mesh(
         np.asarray(jax.devices()), axis_names=("shards",)
@@ -139,6 +181,10 @@ def run_simka_multihost(config) -> None:
         matrices = compute_all_matrices(stats)
         os.makedirs(config.output_dir, exist_ok=True)
         write_all_matrices(config.output_dir, matrices, ids)
+        metrics.set("nb_distinct_kmers", stats.nb_distinct_kmers)
+        metrics.save(
+            os.path.join(config.output_dir, "simka_metrics.json")
+        )
         if config.verbose:
             print(stats.summary())
 
@@ -151,6 +197,28 @@ def datasets_for_process(
     return list(range(process_id, n_datasets, num_processes))
 
 
+def required_bin_cap(
+    words: Tuple[np.ndarray, ...],
+    n_devices: int,
+    local_src_slots: int,
+    pad_multiple: int = 256,
+) -> int:
+    """The per-(slot, device) row capacity this host's data needs in
+    ``bin_rows_for_devices`` -- exposed so multi-process runs can
+    allgather-max it into a globally agreed pad cap."""
+    words = tuple(words)
+    valid = words[0] != np.uint32(0xFFFFFFFF)
+    h = words[0]
+    for w in words[1:]:
+        h = _mix_hash_np(h, w)
+    dest = h[valid] % np.uint32(n_devices)
+    counts_per_dest = np.bincount(
+        dest.astype(np.int64), minlength=n_devices
+    )[:n_devices]
+    per_slot = -(-int(counts_per_dest.max(initial=0)) // local_src_slots)
+    return max(pad_multiple, -(-per_slot // pad_multiple) * pad_multiple)
+
+
 def bin_rows_for_devices(
     words: Tuple[np.ndarray, ...],
     sid: np.ndarray,
@@ -158,12 +226,16 @@ def bin_rows_for_devices(
     n_devices: int,
     local_src_slots: int,
     pad_multiple: int = 256,
+    cap: Optional[int] = None,
 ):
     """Bin this host's spectrum rows by destination device.
 
     Returns uint32 arrays of shape [local_src_slots, n_devices, cap]
     per word plus sid/count arrays: slot-major so each local device
     acts as one all_to_all source. Padding rows carry SENTINEL words.
+    ``cap`` overrides the locally required capacity (multi-process
+    runs must pass the globally agreed maximum so every process's
+    shard has the same shape).
     """
     words = tuple(words)
     valid = words[0] != np.uint32(0xFFFFFFFF)
@@ -180,8 +252,16 @@ def bin_rows_for_devices(
     )[:n_devices]
     # split each destination's rows round-robin across local source
     # slots, so every local device carries ~1/L of the traffic
-    per_slot = -(-int(counts_per_dest.max()) // local_src_slots)
-    cap = max(pad_multiple, -(-per_slot // pad_multiple) * pad_multiple)
+    per_slot = -(-int(counts_per_dest.max(initial=0)) // local_src_slots)
+    needed = max(
+        pad_multiple, -(-per_slot // pad_multiple) * pad_multiple
+    )
+    if cap is None:
+        cap = needed
+    elif cap < needed:
+        raise ValueError(
+            f"agreed bin cap {cap} < locally required {needed}"
+        )
 
     shape = (local_src_slots, n_devices, cap)
     out_words = tuple(
@@ -228,15 +308,21 @@ def multihost_join_from_spectra(
     local = [d for d in devices if d.process_index == jax.process_index()]
     n_local = max(len(local), 1)
 
+    # the binned arrays' trailing dim must be IDENTICAL on every
+    # process (they become one global sharded array): agree on the
+    # max required capacity across processes
+    cap = required_bin_cap(tuple(words), n_dev, n_local)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        cap = int(
+            multihost_utils.process_allgather(
+                np.asarray([cap], np.int64)
+            ).max()
+        )
     bw, bs, bc = bin_rows_for_devices(
-        tuple(words), sid, counts, n_dev, n_local
+        tuple(words), sid, counts, n_dev, n_local, cap=cap
     )
-    # NOTE multi-process runs need a globally agreed cap (the binned
-    # arrays' last dim); processes with less data pad up. A real pod
-    # deployment should pre-agree via
-    # jax.experimental.multihost_utils.process_allgather on the local
-    # cap; single-process meshes (and the dryrun) are already
-    # consistent.
     nw = len(bw)
 
     arrays = []

@@ -18,6 +18,14 @@ from simka_tpu.io.dsl import parse_input_file
 
 REF_INPUT = "/root/reference/example/simka_input.txt"
 
+
+def test_k_cap_matches_reference_spans():
+    SimkaConfig(kmer_size=127)  # largest k of the gatb klist spans
+    with pytest.raises(ValueError):
+        SimkaConfig(kmer_size=128)
+    with pytest.raises(ValueError):
+        SimkaConfig(kmer_size=0)
+
 CODE = {65: 0, 67: 1, 71: 2, 84: 3}
 COMP = {0: 3, 1: 2, 2: 1, 3: 0}
 
@@ -40,8 +48,12 @@ def oracle_counts(seqs, k):
     return counts
 
 
-@pytest.mark.parametrize("k", [33, 41])
+@pytest.mark.parametrize("k", [33, 41, 63, 64, 75])
 def test_k_gt_31_pipeline(k):
+    # 63/64 cross the 4-word boundary (2k == 128 is the "2k % 32 == 0"
+    # sentinel-headroom case in extract_canonical_kmers_multi); 75
+    # exercises a 5-word k-mer (reference spans reach k=127,
+    # CMakeLists.txt:66-71)
     datasets = parse_input_file(REF_INPUT)[:3]  # A, B, C
     ids = [d.id for d in datasets]
     seqs = [read_dataset(d.banks) for d in datasets]
