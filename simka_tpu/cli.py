@@ -37,7 +37,8 @@ def build_simka_parser() -> argparse.ArgumentParser:
     p.add_argument("-simple-dist", action="store_true", help="compute all simple distances (Chord, Hellinger...)")
     p.add_argument("-complex-dist", action="store_true", help="compute all complex distances (Jensen-Shannon...)")
     p.add_argument("-nb-cores", type=int, default=0, help="accepted for compatibility (XLA manages cores)")
-    p.add_argument("-max-memory", type=int, default=5000, help="accepted for compatibility (MB)")
+    p.add_argument("-max-memory", type=int, default=5000, help="max memory (MB); joins beyond this budget sweep the k-mer hash space out-of-core")
+    p.add_argument("-sweep-ranges", type=int, default=0, help="force N sequential out-of-core hash ranges (0 = auto by -max-memory)")
     p.add_argument("-verbose", type=int, default=1, help="verbosity")
     p.add_argument("-n-shards", type=int, default=0, help="k-mer-space shards (0 = all local devices)")
     p.add_argument("-data-info", action="store_true", help="compute (and display) input information only")
@@ -83,6 +84,7 @@ def simka_main(argv) -> int:
         keep_tmp=args.keep_tmp,
         verbose=bool(args.verbose),
         n_shards=args.n_shards,
+        sweep_ranges=args.sweep_ranges,
     )
     if args.data_info:
         from simka_tpu.core.pipeline import run_data_info

@@ -47,6 +47,9 @@ class SimkaConfig:
 
     # TPU-native knobs (no reference equivalent)
     n_shards: int = 0  # 0: use all local devices for k-mer-space sharding
+    sweep_ranges: int = 0  # out-of-core hash-range sweep (needs
+    # -out-tmp): 0 = auto (sweep only when the projected join exceeds
+    # the -max-memory budget), N = force N sequential ranges
     read_batch_size: int = 1 << 18  # reads per device batch
     n_policy: str = "skip"  # "skip": k-mers spanning non-ACGT are dropped
 

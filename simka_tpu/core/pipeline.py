@@ -419,18 +419,73 @@ def run_simka(config: SimkaConfig) -> Dict[str, np.ndarray]:
 
     if config.output_tmp_dir:
         from simka_tpu.core.checkpoint import CountCheckpoint
+        from simka_tpu.core.sweep import (
+            SpectrumSpill,
+            choose_n_ranges,
+            filtered_solid_per_bank,
+            sweep_join_stats,
+        )
 
         ckpt = CountCheckpoint(config.output_tmp_dir)
         spectra, nb_reads = [], []
         total_reads = 0
+        rows_so_far = 0
+        spill = None
+        solid_acc = np.zeros(len(datasets), np.int64)
+        budget_bytes = max(config.max_memory_mb, 1) * 1_000_000
         with metrics.stage("count"):
-            for d in datasets:
+            for idx, d in enumerate(datasets):
                 words, counts, n, resumed = count_one_dataset(
                     d, config, cap, ckpt=ckpt, log=log
                 )
                 if resumed:
                     metrics.count("datasets_resumed", 1)
-                spectra.append((words, counts))
+                rows_so_far += len(counts)
+                row_bytes = 4 * (len(words) + 2)
+                over_budget = rows_so_far * row_bytes * 8 > budget_bytes
+                if spill is None and (
+                    config.sweep_ranges > 0 or over_budget
+                ):
+                    # switch to the out-of-core hash-range sweep: the
+                    # projected in-memory join would blow the -max-
+                    # memory budget (the reference's disk partitions,
+                    # SimkaPotara.hpp:713-723). Project total rows
+                    # from the per-sample average seen so far.
+                    projected = (
+                        rows_so_far * len(datasets) * 1.3 / (idx + 1)
+                    )
+                    n_ranges = choose_n_ranges(
+                        int(projected),
+                        len(words),
+                        config.max_memory_mb,
+                        config.sweep_ranges,
+                    )
+                    spill = SpectrumSpill(
+                        config.output_tmp_dir, n_ranges
+                    )
+                    log(
+                        f"out-of-core sweep: {n_ranges} hash ranges "
+                        f"(projected {int(projected)} rows)"
+                    )
+                    for s_prev, prev in enumerate(spectra):
+                        w_prev, c_prev = prev
+                        spill.spill_sample(s_prev, w_prev, c_prev)
+                        solid_acc[s_prev] = filtered_solid_per_bank(
+                            [c_prev],
+                            config.abundance_min,
+                            config.abundance_max,
+                        )[0]
+                        spectra[s_prev] = None  # free host RAM
+                if spill is not None:
+                    spill.spill_sample(idx, words, counts)
+                    solid_acc[idx] = filtered_solid_per_bank(
+                        [counts],
+                        config.abundance_min,
+                        config.abundance_max,
+                    )[0]
+                    spectra.append(None)
+                else:
+                    spectra.append((words, counts))
                 nb_reads.append(n)
                 total_reads += n
                 metrics.count("kmer_instances", int(counts.sum()))
@@ -438,9 +493,32 @@ def run_simka(config: SimkaConfig) -> Dict[str, np.ndarray]:
         log(f"count phase: {total_reads} reads in "
             f"{metrics.timings['count']:.2f}s")
         with metrics.stage("merge"):
-            stats = compute_statistics_from_spectra(
-                spectra, ids, nb_reads, config
-            )
+            if spill is not None:
+                metrics.set("sweep_ranges", spill.n_ranges)
+                js = sweep_join_stats(
+                    spill,
+                    len(ids),
+                    config.abundance_min,
+                    config.abundance_max,
+                    solid_acc,
+                    simple=config.simple_dist,
+                    complex_=config.complex_dist,
+                    verbose_log=log,
+                )
+                stats = SimkaStatistics.from_join_stats(
+                    js,
+                    ids,
+                    config.kmer_size,
+                    np.asarray(nb_reads, np.int64),
+                    config.simple_dist,
+                    config.complex_dist,
+                )
+                if not config.keep_tmp:
+                    spill.cleanup()
+            else:
+                stats = compute_statistics_from_spectra(
+                    spectra, ids, nb_reads, config
+                )
         log(f"merge+distances: {metrics.timings['merge']:.2f}s")
     else:
         with metrics.stage("read"):

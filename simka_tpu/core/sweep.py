@@ -1,0 +1,196 @@
+"""Out-of-core execution: sequential sweep over k-mer hash ranges.
+
+The reference's whole disk architecture exists so that N samples whose
+combined k-mer content vastly exceeds RAM still run: counting spills
+minimizer-partitioned files (src/SimkaPotara.hpp:713-723), each
+partition is merged independently and its statistics saved, and the
+orchestrator folds the per-partition stats with operator+=
+(src/SimkaPotara.hpp:1152-1187, src/SimkaMerge.cpp:638-823).
+
+TPU-native equivalent: the k-mer hash space is split into R ranges.
+The count phase spills every sample's spectrum rows per range to disk
+(npz), bounding what the join ever holds to ~1/R of the union; one
+chip then sweeps the ranges sequentially, running the fused join
+kernel per range and summing the (elementwise-additive) JoinStats on
+the host. Because ranges partition the k-mer space, every per-range
+reduction is disjoint and the summed statistics are bit-identical to
+a single in-memory join -- except the Whittaker/Kullback-Leibler pair
+terms, which need whole-sample totals; those are computed at spill
+time and injected into every range join (``solid_override``).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import List, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from simka_tpu.ops.countjoin import JoinStats, join_stats_from_spectra
+from simka_tpu.parallel.sharded import _mix_hash_np
+
+SENTINEL32 = np.uint32(0xFFFFFFFF)
+
+
+def _range_of(words: Tuple[np.ndarray, ...], n_ranges: int) -> np.ndarray:
+    h = words[0]
+    for w in words[1:]:
+        h = _mix_hash_np(h, w)
+    return (h % np.uint32(n_ranges)).astype(np.int64)
+
+
+class SpectrumSpill:
+    """Disk store of per-(sample, hash-range) spectrum rows.
+
+    Plays the role of the reference's ``solid/part_<p>/__p__<bank>.gz``
+    partition files (src/SimkaCount.cpp:248-257) with npz instead of
+    gatb Bag records.
+    """
+
+    def __init__(self, tmp_dir: str, n_ranges: int):
+        self.dir = os.path.join(tmp_dir, "sweep")
+        self.n_ranges = n_ranges
+        os.makedirs(self.dir, exist_ok=True)
+
+    def _path(self, sample: int, r: int) -> str:
+        return os.path.join(self.dir, f"s{sample}_r{r}.npz")
+
+    def spill_sample(
+        self,
+        sample: int,
+        words: Tuple[np.ndarray, ...],
+        counts: np.ndarray,
+    ) -> None:
+        rng = _range_of(tuple(words), self.n_ranges)
+        order = np.argsort(rng, kind="stable")
+        rs = rng[order]
+        bounds = np.searchsorted(rs, np.arange(self.n_ranges + 1))
+        for r in range(self.n_ranges):
+            sel = order[bounds[r] : bounds[r + 1]]
+            payload = {
+                f"w{i}": w[sel] for i, w in enumerate(words)
+            }
+            payload["counts"] = counts[sel]
+            np.savez(self._path(sample, r), **payload)
+
+    def load_range(
+        self, r: int, n_samples: int
+    ) -> Tuple[Tuple[np.ndarray, ...], np.ndarray, np.ndarray]:
+        """All samples' rows for one range: (words, sid, counts)."""
+        wparts: List[List[np.ndarray]] = []
+        sids, cnts = [], []
+        for s in range(n_samples):
+            z = np.load(self._path(s, r))
+            nw = len([k for k in z.files if k.startswith("w")])
+            if not wparts:
+                wparts = [[] for _ in range(nw)]
+            for i in range(nw):
+                wparts[i].append(z[f"w{i}"])
+            sids.append(np.full(z["w0"].shape, s, np.int32))
+            cnts.append(z["counts"].astype(np.int32))
+        words = tuple(np.concatenate(p) for p in wparts)
+        return words, np.concatenate(sids), np.concatenate(cnts)
+
+    def cleanup(self) -> None:
+        shutil.rmtree(self.dir, ignore_errors=True)
+
+
+def _add_join_stats(a: JoinStats, b: JoinStats) -> JoinStats:
+    """Elementwise fold (the reference's SimkaStatistics::operator+=,
+    SimkaDistance.cpp:156-213) -- every field is additive over
+    disjoint k-mer ranges EXCEPT the per-bank totals, which the
+    caller already made global via ``solid_override``/recomputation."""
+    return JoinStats(*(np.asarray(x) + np.asarray(y) for x, y in zip(a, b)))
+
+
+def sweep_join_stats(
+    spill: SpectrumSpill,
+    n_samples: int,
+    abundance_min: int,
+    abundance_max: int,
+    global_solid: np.ndarray,
+    *,
+    simple: bool = False,
+    complex_: bool = False,
+    verbose_log=lambda msg: None,
+) -> JoinStats:
+    """Sequentially join every hash range and fold the statistics.
+
+    ``global_solid`` must be the post-filter whole-space per-bank k-mer
+    totals (computed at spill time) -- the Whittaker/KL pair terms use
+    them in every range (SimkaDistance.cpp:114-152 semantics).
+    """
+    import jax.numpy as jnp
+
+    total: JoinStats = None
+    for r in range(spill.n_ranges):
+        words, sid, counts = spill.load_range(r, n_samples)
+        E = max(len(words[0]), 1)
+        target = 1 << max(10, (E - 1).bit_length())
+        pad = target - len(words[0])
+        if pad:
+            words = tuple(
+                np.concatenate([w, np.full(pad, SENTINEL32, np.uint32)])
+                for w in words
+            )
+            sid = np.concatenate([sid, np.zeros(pad, np.int32)])
+            counts = np.concatenate([counts, np.zeros(pad, np.int32)])
+        max_count = int(counts.max()) if len(counts) else 1
+        count_bits = min(32, max(11, max_count.bit_length()))
+        js = join_stats_from_spectra(
+            tuple(jnp.asarray(w) for w in words),
+            jnp.asarray(sid),
+            jnp.asarray(counts),
+            jnp.int32(abundance_min),
+            jnp.int64(abundance_max),
+            jnp.asarray(global_solid, jnp.int64),
+            n_banks=n_samples,
+            simple=simple,
+            complex_=complex_,
+            count_bits=count_bits,
+        )
+        js = jax.tree.map(np.asarray, js)
+        total = js if total is None else _add_join_stats(total, js)
+        verbose_log(
+            f"sweep range {r + 1}/{spill.n_ranges}: {E} rows joined"
+        )
+    return total
+
+
+def filtered_solid_per_bank(
+    counts_per_sample: Sequence[np.ndarray],
+    abundance_min: int,
+    abundance_max: int,
+) -> np.ndarray:
+    """Whole-space per-bank solid totals under the count-time abundance
+    filter (MiniKC.hpp:56) -- exactly what the reference's merge reads
+    from the count_synchro .ok metadata."""
+    out = np.zeros(len(counts_per_sample), np.int64)
+    for s, c in enumerate(counts_per_sample):
+        c = np.asarray(c, np.int64)
+        keep = (c >= abundance_min) & (c <= abundance_max)
+        out[s] = int(c[keep].sum())
+    return out
+
+
+def choose_n_ranges(
+    total_rows: int,
+    n_words: int,
+    max_memory_mb: int,
+    requested: int = 0,
+) -> int:
+    """Number of hash ranges so one range's join working set fits the
+    memory budget (the role of the reference's ConfigurationAlgorithm
+    partition-count estimate, SimkaPotara.hpp:617-713).
+
+    The fused join holds roughly 8x the row payload (sort buffers,
+    panels, one-hot operands), so budget_rows = budget / (row_bytes*8).
+    """
+    if requested:
+        return max(1, requested)
+    row_bytes = 4 * (n_words + 2)
+    budget = max(max_memory_mb, 1) * 1_000_000
+    budget_rows = max(budget // (row_bytes * 8), 1)
+    return max(1, -(-int(total_rows) // int(budget_rows)))
