@@ -21,12 +21,76 @@ numbers -- SURVEY.md §6 -- so this anchor is recorded here explicitly).
 """
 
 import json
+import os
+import shutil
+import tempfile
 import time
 
 import numpy as np
 
 
 CPU_SIMKA_BASELINE_KMERS_PER_SEC = 10_000_000.0
+
+
+def bench_end_to_end():
+    """FASTA -> all distance matrices wall-clock (reads/s, kmers/s).
+
+    Measures the WHOLE product path -- native ingest, device k-mer
+    extraction, fused count+join, host distance formulas, csv.gz --
+    on a synthetic 4-sample metagenome (100k reads x 100 bp each).
+    The first run warms the XLA compile cache; the second is timed
+    (steady-state, which is what a production sweep over many inputs
+    experiences).
+    """
+    from simka_tpu.config import SimkaConfig
+    from simka_tpu.core.pipeline import run_simka
+
+    n_samples, n_reads, read_len, k = 4, 100_000, 100, 21
+    rng = np.random.default_rng(7)
+    tmp = tempfile.mkdtemp(prefix="simka_bench_")
+    try:
+        lines = []
+        bases = np.frombuffer(b"ACGT", np.uint8)
+        for s in range(n_samples):
+            path = os.path.join(tmp, f"S{s}.fasta")
+            codes = rng.integers(0, 4, size=(n_reads, read_len))
+            seqs = bases[codes]
+            with open(path, "wb") as f:
+                for i in range(n_reads):
+                    f.write(b">r%d\n" % i)
+                    f.write(seqs[i].tobytes())
+                    f.write(b"\n")
+            lines.append(f"S{s}: {path}")
+        input_txt = os.path.join(tmp, "input.txt")
+        with open(input_txt, "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+        def once(tag):
+            out = os.path.join(tmp, f"out_{tag}")
+            t0 = time.perf_counter()
+            run_simka(
+                SimkaConfig(
+                    input_filename=input_txt,
+                    output_dir=out,
+                    kmer_size=k,
+                    abundance_min=2,
+                    verbose=False,
+                    n_shards=1,
+                )
+            )
+            return time.perf_counter() - t0
+
+        once("warm")
+        dt = once("timed")
+        total_reads = n_samples * n_reads
+        total_kmers = total_reads * (read_len - k + 1)
+        return {
+            "e2e_wall_s": round(dt, 2),
+            "e2e_reads_per_sec": round(total_reads / dt, 1),
+            "e2e_kmers_per_sec": round(total_kmers / dt, 1),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def main():
@@ -68,6 +132,9 @@ def main():
     dt = (time.perf_counter() - t0) / iters
 
     rate = E / dt
+
+    e2e = bench_end_to_end()
+
     print(
         json.dumps(
             {
@@ -77,6 +144,7 @@ def main():
                 "vs_baseline": round(
                     rate / CPU_SIMKA_BASELINE_KMERS_PER_SEC, 3
                 ),
+                **e2e,
             }
         )
     )

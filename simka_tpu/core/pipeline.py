@@ -320,6 +320,34 @@ def count_dataset_spectrum(
     return uw, counts, len(seqs)
 
 
+def repartition_histogram(
+    spectra_iter,
+    abundance_min: int,
+    abundance_max: int,
+    n_buckets: int = 16,
+) -> np.ndarray:
+    """Distinct solid k-mers per hash bucket, summed over samples.
+
+    Analog of the reference's printCountInfo repartition histogram
+    (src/SimkaPotara.hpp:785-811), which sums each bank's
+    kmercount_per_partition counts per partition: a skew diagnostic
+    for the k-mer-space sharding.
+    """
+    from simka_tpu.parallel.sharded import _mix_hash_np
+
+    hist = np.zeros(n_buckets, np.int64)
+    for words, counts in spectra_iter:
+        h = words[0]
+        for w in words[1:]:
+            h = _mix_hash_np(h, w)
+        keep = (counts >= abundance_min) & (counts <= abundance_max)
+        hist += np.bincount(
+            (h[keep] % np.uint32(n_buckets)).astype(np.int64),
+            minlength=n_buckets,
+        )
+    return hist
+
+
 def count_one_dataset(d, config: SimkaConfig, cap: int, ckpt=None,
                       log=lambda m: None):
     """Count phase for one dataset: checkpoint reuse plus the
@@ -433,10 +461,17 @@ def run_simka(config: SimkaConfig) -> Dict[str, np.ndarray]:
         spill = None
         solid_acc = np.zeros(len(datasets), np.int64)
         budget_bytes = max(config.max_memory_mb, 1) * 1_000_000
+        repart_hist = np.zeros(16, np.int64)
         with metrics.stage("count"):
             for idx, d in enumerate(datasets):
+                log(f"count [{idx + 1}/{len(datasets)}] {d.id}")
                 words, counts, n, resumed = count_one_dataset(
                     d, config, cap, ckpt=ckpt, log=log
+                )
+                repart_hist += repartition_histogram(
+                    [(words, counts)],
+                    config.abundance_min,
+                    config.abundance_max,
                 )
                 if resumed:
                     metrics.count("datasets_resumed", 1)
@@ -490,6 +525,16 @@ def run_simka(config: SimkaConfig) -> Dict[str, np.ndarray]:
                 total_reads += n
                 metrics.count("kmer_instances", int(counts.sum()))
         metrics.count("reads", total_reads)
+        # reference printCountInfo (SimkaPotara.hpp:785-811): the
+        # k-mer repartition over hash shards, as a skew diagnostic
+        metrics.set("repartition_histogram", repart_hist.tolist())
+        if repart_hist.sum():
+            log(
+                "kmer repartition over 16 hash buckets: "
+                f"min {int(repart_hist.min())} "
+                f"mean {int(repart_hist.mean())} "
+                f"max {int(repart_hist.max())}"
+            )
         log(f"count phase: {total_reads} reads in "
             f"{metrics.timings['count']:.2f}s")
         with metrics.stage("merge"):

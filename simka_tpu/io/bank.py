@@ -131,6 +131,29 @@ def sequence_passes(
     return True
 
 
+def iter_filtered_reads(
+    path: str, min_read_size: int, min_read_shannon_index: float
+) -> Iterator[bytes]:
+    """Filtered read stream for one file: the native (C++) parser when
+    available (the role of gatb-core's Bank, SURVEY.md §2.9 /
+    src/SimkaCount.cpp:188), the pure-Python reader otherwise.
+    SIMKA_TPU_NO_NATIVE=1 forces the Python path."""
+    if os.environ.get("SIMKA_TPU_NO_NATIVE") != "1":
+        try:
+            from simka_tpu.io import native
+
+            if native.available():
+                yield from native.iter_raw_reads(
+                    path, min_read_size, min_read_shannon_index
+                )
+                return
+        except (OSError, RuntimeError):
+            pass  # fall back to the Python reader
+    for seq in iter_sequences(path):
+        if sequence_passes(seq, min_read_size, min_read_shannon_index):
+            yield seq
+
+
 def read_dataset(
     banks: Iterable,
     min_read_size: int = 0,
@@ -163,11 +186,9 @@ def read_dataset(
         capped = False
         for path in group:
             first_in_file = True
-            for seq in iter_sequences(path):
-                if not sequence_passes(
-                    seq, min_read_size, min_read_shannon_index
-                ):
-                    continue
+            for seq in iter_filtered_reads(
+                path, min_read_size, min_read_shannon_index
+            ):
                 if first_in_file:
                     first_in_file = False
                     out.append(seq)

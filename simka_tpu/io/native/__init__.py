@@ -74,6 +74,16 @@ def get_lib():
         ctypes.c_int32,
         ctypes.c_float,
     ]
+    lib.fastx_read_raw_batch.restype = ctypes.c_int64
+    lib.fastx_read_raw_batch.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_float,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
     _lib = lib
     return _lib
 
@@ -117,6 +127,51 @@ def iter_code_batches(
             yield codes[:n], lengths[:n]
             if n < batch_reads:
                 break
+    finally:
+        lib.fastx_close(h)
+
+
+def iter_raw_reads(
+    path: str,
+    min_read_size: int = 0,
+    min_shannon: float = 0.0,
+    batch_reads: int = 1 << 16,
+    batch_bytes: int = 1 << 24,
+) -> Iterator[bytes]:
+    """Yield FILTERED raw sequence byte strings at native parse speed.
+
+    Drop-in replacement for the pure-Python
+    ``iter_sequences`` + ``sequence_passes`` stream in io.bank (same
+    filter semantics: the C++ Shannon index mirrors
+    SimkaSequenceFilter, /root/reference/src/core/SimkaCommons.hpp:393-432).
+    """
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native fastx library unavailable")
+    h = lib.fastx_open(path.encode())
+    if not h:
+        raise IOError(f"cannot open sequence file: {path}")
+    try:
+        buf = np.empty(batch_bytes, np.uint8)
+        offsets = np.empty(batch_reads + 1, np.int64)
+        while True:
+            n = lib.fastx_read_raw_batch(
+                h,
+                batch_reads,
+                buf.shape[0],
+                min_read_size,
+                min_shannon,
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
+            if n == 0:
+                break
+            if n < 0:  # one read larger than the buffer: grow + retry
+                buf = np.empty(max(-n, 2 * buf.shape[0]), np.uint8)
+                continue
+            raw = bytes(buf[: offsets[n]])
+            for i in range(n):
+                yield raw[offsets[i] : offsets[i + 1]]
     finally:
         lib.fastx_close(h)
 

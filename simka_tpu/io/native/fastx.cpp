@@ -82,6 +82,10 @@ class FastxReader {
 
   const std::string& seq() const { return seq_; }
 
+  // One-read pushback so batch fillers can stop at a full buffer and
+  // resume with the same read on the next call.
+  bool pending = false;
+
  private:
   enum class Format { kFasta, kFastq };
 
@@ -181,6 +185,40 @@ int64_t fastx_read_batch(void* handle, int64_t max_reads, int64_t max_len,
     for (int64_t i = 0; i < len; i++) row[i] = lut[(unsigned char)s[i]];
     lengths[n] = (int32_t)len;
     n++;
+  }
+  return n;
+}
+
+// Fills buf (capacity max_bytes) with the next batch of FILTERED reads
+// as concatenated raw bytes; offsets[0..n] delimit them
+// (offsets has capacity max_reads + 1, offsets[0] == 0).
+// Returns n >= 1, 0 at EOF, or -needed_bytes when a single read is
+// larger than the whole buffer (caller reallocates and retries).
+int64_t fastx_read_raw_batch(void* handle, int64_t max_reads,
+                             int64_t max_bytes, int32_t min_read_size,
+                             float min_shannon, uint8_t* buf,
+                             int64_t* offsets) {
+  auto* r = static_cast<FastxReader*>(handle);
+  int64_t n = 0;
+  int64_t used = 0;
+  offsets[0] = 0;
+  while (n < max_reads) {
+    if (r->pending) {
+      r->pending = false;
+    } else if (!r->next()) {
+      break;
+    }
+    const std::string& s = r->seq();
+    if (min_read_size && (int64_t)s.size() < min_read_size) continue;
+    if (min_shannon != 0.f && shannon_index(s) < min_shannon) continue;
+    if (used + (int64_t)s.size() > max_bytes) {
+      r->pending = true;
+      if (n == 0) return -(int64_t)s.size();
+      break;
+    }
+    memcpy(buf + used, s.data(), s.size());
+    used += (int64_t)s.size();
+    offsets[++n] = used;
   }
   return n;
 }
