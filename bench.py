@@ -111,7 +111,9 @@ def main():
     lo = jnp.asarray((vals & np.uint64(0xFFFFFFFF)).astype(np.uint32))
     sid = jnp.asarray(rng.integers(0, n_banks, size=E).astype(np.int32))
 
-    f = functools.partial(count_join_stats, n_banks=n_banks)
+    # hi_bits=10 models the default k=21 (42-bit kmers): the packed
+    # u64-key fast path is what real k<=26 runs take
+    f = functools.partial(count_join_stats, n_banks=n_banks, hi_bits=10)
 
     @jax.jit
     def step(hi, lo, sid):

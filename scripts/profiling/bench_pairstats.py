@@ -1,6 +1,13 @@
+"""On-chip benchmark of the fused Pallas pair-statistics kernel.
+
+Input honors the kernel's layout contract (segment-grouped rows,
+ascending duplicate-free sids within a segment, -1 = dropped) --
+vectorized generator, metagenome-like segment sizes (mostly 1-3).
+"""
 import sys
 sys.path.insert(0, "/root/repo")
 import time
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -10,16 +17,28 @@ from simka_tpu.ops.pairstats import pair_stats_default
 N = 8
 E = 1 << 24
 rng = np.random.default_rng(0)
-# metagenome-like: segment lengths mostly 1-3, counts small
-seg_sizes = rng.integers(1, 4, size=E)
-seg_ids = np.repeat(np.arange(len(seg_sizes)), seg_sizes)[:E]
-sid = np.zeros(E, np.int32)
-pos = 0
-rng2 = np.random.default_rng(1)
-# ascending sids within a segment: just use sorted random choice quickly
-sid = (seg_ids * 2654435761 % 8 + np.arange(E) % 3).astype(np.int32) % 8
-cnt = rng.integers(1, 50, size=E).astype(np.int32)
-seg = seg_ids.astype(np.int32)
+
+# segment sizes 1..4 weighted toward singletons, then per segment a
+# sorted duplicate-free sid choice realized vectorized: draw a random
+# key per (segment, bank), keep the L smallest banks per segment
+sizes = rng.choice([1, 1, 2, 2, 3, 4], size=E)
+sizes = sizes[np.cumsum(sizes) <= E]
+n_seg = len(sizes)
+keys = rng.random((n_seg, N)).argsort(axis=1)  # random bank permutation
+rows_seg = np.repeat(np.arange(n_seg), sizes)
+pos_in_seg = np.arange(len(rows_seg)) - np.repeat(
+    np.concatenate([[0], np.cumsum(sizes)[:-1]]), sizes
+)
+picked = keys[rows_seg, pos_in_seg]  # L distinct banks per segment
+# ascending sids within each segment (the kernel's a < b contract)
+order = np.lexsort((picked, rows_seg))
+sid = picked[order].astype(np.int32)
+seg = rows_seg.astype(np.int32)
+cnt = rng.integers(1, 50, size=len(seg)).astype(np.int32)
+pad = E - len(seg)
+seg = np.concatenate([seg, np.full(pad, -1, np.int32)])
+sid = np.concatenate([sid, np.zeros(pad, np.int32)])
+cnt = np.concatenate([cnt, np.zeros(pad, np.int32)])
 
 segj = jnp.asarray(seg)
 sidj = jnp.asarray(sid)

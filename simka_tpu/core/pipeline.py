@@ -110,6 +110,64 @@ def extract_dataset_kmers(
     return tuple(np.concatenate(p) for p in parts), len(seqs)
 
 
+def extract_dataset_kmers_device(
+    seqs: List[bytes],
+    k: int,
+    batch_reads: int = 1 << 17,
+    min_kmer_shannon_index: float = 0.0,
+):
+    """Device-resident extraction: packed 2-bit host->device transfer,
+    on-device unpack + canonical extraction, words NEVER fetched back.
+
+    Returns (list of flattened device word tuples, n_reads). The axon
+    tunnel's ~10 MB/s makes the host round-trip of the k-mer words
+    (~860 B/read at k=21) the end-to-end bottleneck; this path ships
+    0.375 B/base up and nothing down.
+    """
+    import jax.numpy as jnp
+
+    from simka_tpu.ops.kmers import extract_packed, pack_codes_host
+
+    parts = []
+    for start in range(0, len(seqs), batch_reads):
+        chunk = seqs[start : start + batch_reads]
+        max_len = max((len(s) for s in chunk), default=k)
+        width = _round_up(max(max_len, k), 32)
+        codes, _ = encode_batch(chunk, max_len=width)
+        pad_b = _round_up(len(chunk), 256) - len(chunk)
+        if pad_b:
+            codes = np.concatenate(
+                [codes, np.full((pad_b, width), 255, np.uint8)]
+            )
+        packed, validbits = pack_codes_host(codes)
+        words = extract_packed(
+            jnp.asarray(packed),
+            jnp.asarray(validbits),
+            k,
+            multi=k > 31,
+        )
+        if min_kmer_shannon_index > 0.0:
+            if k > 31:
+                raise NotImplementedError(
+                    "-kmer-shannon-index currently supports k <= 31"
+                )
+            from simka_tpu.ops.kmers import (
+                SENTINEL,
+                kmer_shannon_index,
+            )
+
+            hi, lo = words
+            keep = (
+                kmer_shannon_index(hi, lo, k) >= min_kmer_shannon_index
+            )
+            words = (
+                jnp.where(keep, hi, SENTINEL),
+                jnp.where(keep, lo, SENTINEL),
+            )
+        parts.append(tuple(w.ravel() for w in words))
+    return parts, len(seqs)
+
+
 def compute_statistics(
     dataset_seqs: List[List[bytes]],
     dataset_ids: List[str],
@@ -117,14 +175,19 @@ def compute_statistics(
 ) -> SimkaStatistics:
     """Full statistics from in-memory per-dataset read lists.
 
-    Runs single-device, or -- when the config requests shards / more
-    than one local device exists -- sharded over the k-mer hash space
-    with a psum reduction (bit-identical either way; see
-    tests/test_sharded.py).
+    Runs single-device (fully device-resident), or -- when the config
+    requests shards / more than one local device exists -- sharded
+    over the k-mer hash space with a psum reduction (bit-identical
+    either way; see tests/test_sharded.py).
     """
     import jax
 
     k = config.kmer_size
+    n_shards = config.n_shards or len(jax.devices())
+    if not (n_shards > 1 and len(jax.devices()) >= n_shards):
+        return _compute_statistics_device(
+            dataset_seqs, dataset_ids, config
+        )
     word_parts: List[List[np.ndarray]] = []
     sids = []
     nb_reads = []
@@ -143,51 +206,100 @@ def compute_statistics(
     words = tuple(np.concatenate(p) for p in word_parts)
     sid = np.concatenate(sids) if sids else np.empty(0, np.int32)
 
-    n_shards = config.n_shards or len(jax.devices())
-    if n_shards > 1 and len(jax.devices()) >= n_shards:
-        from simka_tpu.parallel.sharded import (
-            make_mesh,
-            shard_instances_by_hash,
-            sharded_count_join_stats,
-        )
+    from simka_tpu.parallel.sharded import (
+        make_mesh,
+        shard_instances_by_hash,
+        sharded_count_join_stats,
+    )
 
-        mesh = make_mesh(n_shards)
-        words_sh, sid_sh = shard_instances_by_hash(words, sid, n_shards)
-        js = sharded_count_join_stats(
-            words_sh,
-            sid_sh,
-            config.abundance_min,
-            config.abundance_max,
-            mesh=mesh,
-            n_banks=len(dataset_ids),
-            simple=config.simple_dist,
-            complex_=config.complex_dist,
+    mesh = make_mesh(n_shards)
+    words_sh, sid_sh = shard_instances_by_hash(words, sid, n_shards)
+    js = sharded_count_join_stats(
+        words_sh,
+        sid_sh,
+        config.abundance_min,
+        config.abundance_max,
+        mesh=mesh,
+        n_banks=len(dataset_ids),
+        simple=config.simple_dist,
+        complex_=config.complex_dist,
+    )
+    return SimkaStatistics.from_join_stats(
+        js,
+        dataset_ids,
+        k,
+        np.asarray(nb_reads, np.int64),
+        config.simple_dist,
+        config.complex_dist,
+    )
+
+
+def _compute_statistics_device(
+    dataset_seqs: List[List[bytes]],
+    dataset_ids: List[str],
+    config: SimkaConfig,
+) -> SimkaStatistics:
+    """Single-device path: every k-mer word stays on the device from
+    extraction through the fused join (no host round-trip)."""
+    import jax
+
+    k = config.kmer_size
+    batches = []  # (words tuple, sample id)
+    nb_reads = []
+    for s, seqs in enumerate(dataset_seqs):
+        parts, n = extract_dataset_kmers_device(
+            seqs, k,
+            min_kmer_shannon_index=config.min_kmer_shannon_index,
         )
-    else:
-        # pad the instance stream to a stable size class so repeated
-        # runs reuse the compiled program
-        E = max(len(words[0]), 1)
-        target = 1 << max(10, (E - 1).bit_length())
-        pad = target - len(words[0])
-        if pad:
-            words = tuple(
-                np.concatenate(
-                    [w, np.full(pad, 0xFFFFFFFF, np.uint32)]
-                )
-                for w in words
+        for words in parts:
+            batches.append((words, s))
+        nb_reads.append(n)
+
+    if not batches:
+        nw = 2 if k <= 31 else 3
+        batches = [
+            (
+                tuple(
+                    jnp.full((1,), 0xFFFFFFFF, jnp.uint32)
+                    for _ in range(nw)
+                ),
+                0,
             )
-            sid = np.concatenate([sid, np.zeros(pad, np.int32)])
-
-        js = count_join_stats(
-            tuple(jnp.asarray(w) for w in words[:-1]),
-            jnp.asarray(words[-1]),
-            jnp.asarray(sid),
-            jnp.int32(config.abundance_min),
-            jnp.int64(config.abundance_max),
-            n_banks=len(dataset_ids),
-            simple=config.simple_dist,
-            complex_=config.complex_dist,
+        ]
+    nw = len(batches[0][0])
+    E = sum(b[0][0].shape[0] for b in batches)
+    # pad to a stable size class so repeated runs reuse the program
+    target = 1 << max(10, (E - 1).bit_length())
+    pad = target - E
+    word_cols = []
+    for i in range(nw):
+        cols = [b[0][i] for b in batches]
+        if pad:
+            cols.append(jnp.full((pad,), 0xFFFFFFFF, jnp.uint32))
+        word_cols.append(jnp.concatenate(cols))
+    sid_cols = [
+        jnp.full((b[0][0].shape[0],), s, jnp.int32) for b, s in (
+            (b, b[1]) for b in batches
         )
+    ]
+    if pad:
+        sid_cols.append(jnp.zeros((pad,), jnp.int32))
+    sid = jnp.concatenate(sid_cols)
+
+    js = count_join_stats(
+        tuple(word_cols[:-1]),
+        word_cols[-1],
+        sid,
+        jnp.int32(config.abundance_min),
+        jnp.int64(config.abundance_max),
+        n_banks=len(dataset_ids),
+        simple=config.simple_dist,
+        complex_=config.complex_dist,
+        # k <= 31 kmers have exactly max(0, 2k-32) payload bits in hi:
+        # enables the packed single-u64-key sort fast path
+        hi_bits=max(0, 2 * k - 32) if k <= 31 else 32,
+        pallas_pairs=os.environ.get("SIMKA_TPU_PALLAS_PAIRS") == "1",
+    )
     return SimkaStatistics.from_join_stats(
         js,
         dataset_ids,
@@ -274,6 +386,13 @@ def compute_statistics_from_spectra(
             simple=config.simple_dist,
             complex_=config.complex_dist,
             count_bits=count_bits,
+            hi_bits=(
+                max(0, 2 * config.kmer_size - 32)
+                if config.kmer_size <= 31
+                else 32
+            ),
+            pallas_pairs=os.environ.get("SIMKA_TPU_PALLAS_PAIRS")
+            == "1",
         )
     return SimkaStatistics.from_join_stats(
         js,
@@ -548,6 +667,11 @@ def run_simka(config: SimkaConfig) -> Dict[str, np.ndarray]:
                     solid_acc,
                     simple=config.simple_dist,
                     complex_=config.complex_dist,
+                    hi_bits=(
+                        max(0, 2 * config.kmer_size - 32)
+                        if config.kmer_size <= 31
+                        else 32
+                    ),
                     verbose_log=log,
                 )
                 stats = SimkaStatistics.from_join_stats(

@@ -114,6 +114,7 @@ def sweep_join_stats(
     *,
     simple: bool = False,
     complex_: bool = False,
+    hi_bits: int = 32,
     verbose_log=lambda msg: None,
 ) -> JoinStats:
     """Sequentially join every hash range and fold the statistics.
@@ -150,6 +151,7 @@ def sweep_join_stats(
             simple=simple,
             complex_=complex_,
             count_bits=count_bits,
+            hi_bits=hi_bits,
         )
         js = jax.tree.map(np.asarray, js)
         total = js if total is None else _add_join_stats(total, js)

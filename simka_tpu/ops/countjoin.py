@@ -187,6 +187,8 @@ def _pair_bin_float(oh_a, oh_b, values_f64):
         "count_bits",
         "vary_axes",
         "psum_axis",
+        "hi_bits",
+        "pallas_pairs",
     ),
 )
 def count_join_stats(
@@ -202,6 +204,8 @@ def count_join_stats(
     count_bits: int = 32,
     vary_axes: tuple = (),
     psum_axis: str = "",
+    hi_bits: int = 32,
+    pallas_pairs: bool = False,
 ) -> JoinStats:
     """Compute all distance sufficient statistics for one k-mer shard.
 
@@ -222,6 +226,12 @@ def count_join_stats(
         disjoint k-mer hash shards; per-bank totals are made global
         before the pair terms consume them and every output is
         psum-reduced.
+      hi_bits: static PROMISE that real (non-SENTINEL) ``hi`` values
+        fit in this many bits (= max(0, 2k - 32) for k <= 31). When
+        32 + hi_bits + sid bits <= 63 the whole (kmer, sid) key packs
+        into one uint64, turning the 3-word sort into a 1-word sort
+        and the 4-column compaction into 3 -- measured ~20% off the
+        dominant sort+compact stages.
     """
     words = (tuple(hi) if isinstance(hi, (tuple, list)) else (hi,)) + (
         lo,
@@ -229,6 +239,59 @@ def count_join_stats(
     nw = len(words)
     E = words[0].shape[0]
     idx = jnp.arange(E, dtype=jnp.int32)
+    sbits = max(1, (n_banks - 1).bit_length())
+
+    if nw == 2 and 32 + hi_bits + sbits <= 63:
+        # ---- packed fast path: one u64 key carries (kmer, sid) ----
+        key = (
+            (
+                (words[0].astype(jnp.uint64) << 32)
+                | words[1].astype(jnp.uint64)
+            )
+            << sbits
+        ) | sid.astype(jnp.uint64)
+        key = jax.lax.sort((key,), num_keys=1)[0]
+        boundary = jnp.concatenate(
+            [jnp.array([True]), key[1:] != key[:-1]]
+        )
+        # SENTINEL rows pack to >= 2**64 - 2**sbits, above any real key
+        real = key < jnp.uint64(1 << (32 + hi_bits + sbits))
+
+        starts_after = jnp.concatenate(
+            [jnp.where(boundary, idx, E)[1:], jnp.array([E], jnp.int32)]
+        )
+        count = _suffix_min(starts_after) - idx
+
+        kept = (
+            boundary
+            & real
+            & (count >= abundance_min)
+            & (count <= abundance_max)
+        )
+        key_fill = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+        key_c, cnt_c = compact_rows(
+            (key, count), kept, fills=(key_fill, 0),
+            vary_axes=vary_axes,
+        )
+        kept2 = key_c != key_fill
+        sid2 = (key_c & jnp.uint64((1 << sbits) - 1)).astype(jnp.int32)
+        val = key_c >> sbits
+        hi2 = jnp.where(kept2, (val >> 32).astype(jnp.uint32), SENTINEL)
+        lo2 = jnp.where(kept2, val.astype(jnp.uint32), SENTINEL)
+        return _stats_from_rows(
+            (hi2, lo2),
+            jnp.where(kept2, sid2, 0),
+            cnt_c,
+            kept2,
+            rows_compacted=True,
+            n_banks=n_banks,
+            simple=simple,
+            complex_=complex_,
+            count_bits=count_bits,
+            vary_axes=vary_axes,
+            psum_axis=psum_axis,
+            pallas_pairs=pallas_pairs,
+        )
 
     # ---- pass 1: group (kmer, sample) -> per-sample counts ----
     sorted1 = jax.lax.sort((*words, sid), num_keys=nw + 1)
@@ -263,6 +326,7 @@ def count_join_stats(
         count_bits=count_bits,
         vary_axes=vary_axes,
         psum_axis=psum_axis,
+        pallas_pairs=pallas_pairs,
     )
 
 
@@ -275,6 +339,8 @@ def count_join_stats(
         "count_bits",
         "vary_axes",
         "psum_axis",
+        "hi_bits",
+        "pallas_pairs",
     ),
 )
 def join_stats_from_spectra(
@@ -291,6 +357,8 @@ def join_stats_from_spectra(
     count_bits: int = 32,
     vary_axes: tuple = (),
     psum_axis: str = "",
+    hi_bits: int = 32,
+    pallas_pairs: bool = False,
 ) -> JoinStats:
     """Statistics from pre-counted per-sample spectra.
 
@@ -315,6 +383,44 @@ def join_stats_from_spectra(
     # sample)-ascending (sid is a key -> the a < b pair invariant),
     # and no second pass is needed.
     dropped = (counts < abundance_min) | (counts > abundance_max)
+    sbits = max(1, (n_banks - 1).bit_length())
+    if nw == 2 and 32 + hi_bits + sbits <= 63:
+        # packed fast path: one u64 (kmer, sid) key + count payload
+        # (see count_join_stats); dropped/padding rows get all-ones
+        key = (
+            (
+                (words[0].astype(jnp.uint64) << 32)
+                | words[1].astype(jnp.uint64)
+            )
+            << sbits
+        ) | sid.astype(jnp.uint64)
+        key_fill = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+        key = jnp.where(dropped | (words[0] == SENTINEL), key_fill, key)
+        key, counts = jax.lax.sort((key, counts), num_keys=1)
+        kept = key != key_fill
+        sid = jnp.where(
+            kept, (key & jnp.uint64((1 << sbits) - 1)).astype(jnp.int32), 0
+        )
+        val = key >> sbits
+        words = (
+            jnp.where(kept, (val >> 32).astype(jnp.uint32), SENTINEL),
+            jnp.where(kept, val.astype(jnp.uint32), SENTINEL),
+        )
+        return _stats_from_rows(
+            words,
+            sid,
+            counts,
+            kept,
+            rows_compacted=True,
+            solid_override=solid_override,
+            n_banks=n_banks,
+            simple=simple,
+            complex_=complex_,
+            count_bits=count_bits,
+            vary_axes=vary_axes,
+            psum_axis=psum_axis,
+            pallas_pairs=pallas_pairs,
+        )
     words = (jnp.where(dropped, SENTINEL, words[0]), *words[1:])
     sorted_ = jax.lax.sort((*words, sid, counts), num_keys=nw + 1)
     words = sorted_[:nw]
@@ -334,6 +440,7 @@ def join_stats_from_spectra(
         count_bits=count_bits,
         vary_axes=vary_axes,
         psum_axis=psum_axis,
+        pallas_pairs=pallas_pairs,
     )
 
 
@@ -351,6 +458,7 @@ def _stats_from_rows(
     psum_axis: str,
     rows_compacted: bool = False,
     solid_override=None,
+    pallas_pairs: bool = False,
 ) -> JoinStats:
     """Shared pass 2+3 over (kmer, sample, count) rows with validity.
 
@@ -428,6 +536,48 @@ def _stats_from_rows(
     d_max = jnp.max(jnp.where(newk, seg_len, 0))
     n_shared = jnp.sum(newk & (seg_len >= 2)).astype(jnp.int64)
 
+    if (
+        pallas_pairs
+        and not simple
+        and not complex_
+        and not psum_axis
+        and not vary_axes
+        and 2 <= N <= 127
+    ):
+        # fused Pallas pair kernel (ops/pairstats.py): one pass over
+        # the compacted rows, one-hots live only in VMEM. Equivalent
+        # to the einsum path by tests/test_pairstats.py; opt-in via
+        # SIMKA_TPU_PALLAS_PAIRS=1 (measured slower at N=8 on v5e --
+        # the shift einsums win there -- but its HBM traffic is O(E)
+        # instead of O(E*N), the regime of very wide sample sets).
+        from simka_tpu.ops.pairstats import pair_stats_default
+
+        res = pair_stats_default(
+            jnp.where(kept2, seg, -1),
+            jnp.where(kept2, sid2, 0),
+            cnt2,
+            n_banks=N,
+            count_bits=count_bits,
+            interpret=jax.default_backend() != "tpu",
+        )
+        zero_f = jnp.zeros((N, N), jnp.float64)
+        zero_i = jnp.zeros((N, N), jnp.int64)
+        return JoinStats(
+            nb_distinct=n_distinct,
+            nb_shared=n_shared,
+            distinct_per_bank=distinct_per_bank,
+            solid_per_bank=solid_per_bank,
+            chord_n2_per_bank=chord_n2_per_bank,
+            shared_kmers_ab=res["shared_kmers_ab"],
+            shared_kmers_ba=res["shared_kmers_ba"],
+            shared_distinct=res["shared_distinct"],
+            bray_numerator=res["bray"],
+            chord_ninj=zero_f,
+            hellinger=zero_i,
+            whittaker=zero_i,
+            kullback_leibler=zero_f,
+        )
+
     # ---- pass 3: shift-pair accumulation ----
     # pad so a dynamic_slice at offset d (< N) never reads OOB
     padlen = N + 1
@@ -438,8 +588,11 @@ def _stats_from_rows(
         [kept2, jnp.zeros((padlen,), jnp.bool_)]
     )
 
+    # panel padding MUST fill with N (the masked bank), not 0: the
+    # stacked-einsum dist block is unweighted, so pad rows one-hot at
+    # bank 0 would count as pairs
     oh_a = (
-        _panels(jnp.where(kept2, sid2, N))[..., None]
+        _panels(jnp.where(kept2, sid2, N), fill=N)[..., None]
         == jnp.arange(N, dtype=jnp.int32)[None, None, :]
     ).astype(jnp.float32)
     bank_range = jnp.arange(N, dtype=jnp.int32)[None, None, :]
@@ -463,7 +616,8 @@ def _stats_from_rows(
         va_p = _panels(va)
         vb_p = _panels(vb)
         oh_b = (
-            _panels(jnp.where(m, sid_b, N))[..., None] == bank_range
+            _panels(jnp.where(m, sid_b, N), fill=N)[..., None]
+            == bank_range
         ).astype(jnp.float32)
 
         out = dict(acc)

@@ -163,6 +163,53 @@ def extract_canonical_kmers(codes, k: int, comp_xor: int = 3):
     return hi, lo, valid
 
 
+def pack_codes_host(codes):
+    """Host-side 2-bit packing of a [B, W] uint8 code batch (W % 8 == 0).
+
+    The axon TPU tunnel moves ~10 MB/s, so shipping 1 byte/base
+    dominates end-to-end wall-clock; packing sends 0.25 B/base plus a
+    1-bit/base validity bitmap (SURVEY.md §7.2's packed-transfer
+    design; the reference's gatb Bank keeps reads 2-bit packed on disk
+    for the same reason).
+    """
+    import numpy as np
+
+    valid = codes != 255
+    c = np.where(valid, codes, 0).astype(np.uint8)
+    packed = (
+        c[:, 0::4]
+        | (c[:, 1::4] << 2)
+        | (c[:, 2::4] << 4)
+        | (c[:, 3::4] << 6)
+    )
+    validbits = np.packbits(valid, axis=1, bitorder="little")
+    return packed, validbits
+
+
+@functools.partial(jax.jit, static_argnames=("k", "comp_xor", "multi"))
+def extract_packed(packed, validbits, k: int, comp_xor: int = 3,
+                   multi: bool = False):
+    """Device-side unpack of pack_codes_host output + k-mer extraction.
+
+    Returns the words tuple (2 words for the fast path, n_words_for_k
+    for multi=True) with SENTINEL at invalid windows. One fused XLA
+    program: the unpacked codes never round-trip to the host.
+    """
+    B, Wq = packed.shape
+    W = Wq * 4
+    j = jnp.arange(W, dtype=jnp.int32)
+    rep = jnp.repeat(packed, 4, axis=1)
+    codes = (rep >> ((j % 4) * 2).astype(jnp.uint8)) & 3
+    rep8 = jnp.repeat(validbits, 8, axis=1)
+    bit = (rep8 >> (j % 8).astype(jnp.uint8)) & 1
+    codes = jnp.where(bit == 1, codes, jnp.uint8(255))
+    if multi:
+        words, _ = extract_canonical_kmers_multi(codes, k, comp_xor)
+        return words
+    hi, lo, _ = extract_canonical_kmers(codes, k, comp_xor)
+    return (hi, lo)
+
+
 def kmer_shannon_index(hi, lo, k: int):
     """Per-k-mer Shannon index over the 4 base frequencies.
 

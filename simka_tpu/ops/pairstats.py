@@ -228,6 +228,17 @@ def pair_stats_default(
 
     E = seg.shape[0]
     n_panels = max(1, -(-E // panel))
+    # Exactness bound: the lo-half i32 accumulator gains at most
+    # 0xFFFF per panel per cell, so it stays below 2^31 only while
+    # n_panels < 2^15. Callers must split larger streams into
+    # multiple calls (E <= panel * 32767, i.e. ~67M rows at the
+    # default panel) -- silently wrong results otherwise.
+    if n_panels >= 1 << 15:
+        raise ValueError(
+            f"pair_stats_default: {n_panels} panels would overflow the "
+            "i32 lo-half accumulator (max 32767); raise `panel` or "
+            "split the row stream"
+        )
     padded = (n_panels + 1) * panel  # extra panel = halo for the last
     seg = jnp.pad(seg, (0, padded - E), constant_values=-1)
     sid = jnp.pad(sid, (0, padded - E))

@@ -42,8 +42,8 @@ def load_example():
 _stats_cache = {}
 
 
-def stats_for(k: int, t: int):
-    key = (k, t)
+def stats_for(k: int, t: int, n_shards: int = 0):
+    key = (k, t, n_shards)
     if key not in _stats_cache:
         ids, seqs = load_example()
         config = SimkaConfig(
@@ -52,16 +52,24 @@ def stats_for(k: int, t: int):
             simple_dist=True,
             complex_dist=True,
             verbose=False,
+            n_shards=n_shards,
         )
         _stats_cache[key] = compute_statistics(seqs, ids, config)
     return _stats_cache[key]
 
 
-@pytest.mark.parametrize("k,t", [(21, 0), (21, 2), (31, 0), (31, 2)])
-def test_truth_matrices(k, t):
+# n_shards=0 takes the sharded path on the virtual 8-device mesh;
+# n_shards=1 exercises the single-device fully-device-resident path
+# (packed transfer + fused join) that real-chip runs use
+@pytest.mark.parametrize(
+    "k,t,n_shards",
+    [(21, 0, 0), (21, 2, 0), (31, 0, 0), (31, 2, 0),
+     (21, 2, 1), (31, 0, 1)],
+)
+def test_truth_matrices(k, t, n_shards):
     truth_dir = f"{REF}/tests/truth/results_k{k}_t{t}"
     ids, _ = load_example()
-    stats = stats_for(k, t)
+    stats = stats_for(k, t, n_shards)
     matrices = compute_all_matrices(stats)
 
     truth_files = sorted(glob.glob(os.path.join(truth_dir, "*.csv")))
