@@ -110,64 +110,6 @@ def extract_dataset_kmers(
     return tuple(np.concatenate(p) for p in parts), len(seqs)
 
 
-def extract_dataset_kmers_device(
-    seqs: List[bytes],
-    k: int,
-    batch_reads: int = 1 << 17,
-    min_kmer_shannon_index: float = 0.0,
-):
-    """Device-resident extraction: packed 2-bit host->device transfer,
-    on-device unpack + canonical extraction, words NEVER fetched back.
-
-    Returns (list of flattened device word tuples, n_reads). The axon
-    tunnel's ~10 MB/s makes the host round-trip of the k-mer words
-    (~860 B/read at k=21) the end-to-end bottleneck; this path ships
-    0.375 B/base up and nothing down.
-    """
-    import jax.numpy as jnp
-
-    from simka_tpu.ops.kmers import extract_packed, pack_codes_host
-
-    parts = []
-    for start in range(0, len(seqs), batch_reads):
-        chunk = seqs[start : start + batch_reads]
-        max_len = max((len(s) for s in chunk), default=k)
-        width = _round_up(max(max_len, k), 32)
-        codes, _ = encode_batch(chunk, max_len=width)
-        pad_b = _round_up(len(chunk), 256) - len(chunk)
-        if pad_b:
-            codes = np.concatenate(
-                [codes, np.full((pad_b, width), 255, np.uint8)]
-            )
-        packed, validbits = pack_codes_host(codes)
-        words = extract_packed(
-            jnp.asarray(packed),
-            jnp.asarray(validbits),
-            k,
-            multi=k > 31,
-        )
-        if min_kmer_shannon_index > 0.0:
-            if k > 31:
-                raise NotImplementedError(
-                    "-kmer-shannon-index currently supports k <= 31"
-                )
-            from simka_tpu.ops.kmers import (
-                SENTINEL,
-                kmer_shannon_index,
-            )
-
-            hi, lo = words
-            keep = (
-                kmer_shannon_index(hi, lo, k) >= min_kmer_shannon_index
-            )
-            words = (
-                jnp.where(keep, hi, SENTINEL),
-                jnp.where(keep, lo, SENTINEL),
-            )
-        parts.append(tuple(w.ravel() for w in words))
-    return parts, len(seqs)
-
-
 def compute_statistics(
     dataset_seqs: List[List[bytes]],
     dataset_ids: List[str],
@@ -234,26 +176,99 @@ def compute_statistics(
     )
 
 
+def _prepare_packed_batch(seqs, start, batch_reads, k):
+    """Host side of one extraction batch: encode + 2-bit pack + H2D.
+
+    Runs on a prefetch worker thread (see _compute_statistics_device)
+    so the encode and the slow tunnel transfer overlap the device's
+    extraction of the previous batch.
+    """
+    import jax
+
+    chunk = seqs[start : start + batch_reads]
+    max_len = max((len(s) for s in chunk), default=k)
+    width = _round_up(max(max_len, k), 32)
+    codes, _ = encode_batch(chunk, max_len=width)
+    pad_b = _round_up(len(chunk), 256) - len(chunk)
+    if pad_b:
+        codes = np.concatenate(
+            [codes, np.full((pad_b, width), 255, np.uint8)]
+        )
+    from simka_tpu.ops.kmers import pack_codes_host
+
+    packed, validbits = pack_codes_host(codes)
+    return jax.device_put(packed), jax.device_put(validbits)
+
+
 def _compute_statistics_device(
     dataset_seqs: List[List[bytes]],
     dataset_ids: List[str],
     config: SimkaConfig,
+    batch_reads: int = 1 << 17,
 ) -> SimkaStatistics:
     """Single-device path: every k-mer word stays on the device from
-    extraction through the fused join (no host round-trip)."""
-    import jax
+    extraction through the fused join (no host round-trip).
+
+    Ingest is DOUBLE-BUFFERED: a worker thread encodes/packs/ships
+    batch i+1 while the device extracts batch i (the reference keeps
+    its gatb Bank reader ahead of the counters with a dispatcher
+    thread pool, src/SimkaCount.cpp:188; here the split is
+    host-prep-vs-device-compute instead of reader-vs-counter).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from simka_tpu.ops.kmers import extract_packed
 
     k = config.kmer_size
     batches = []  # (words tuple, sample id)
-    nb_reads = []
-    for s, seqs in enumerate(dataset_seqs):
-        parts, n = extract_dataset_kmers_device(
-            seqs, k,
-            min_kmer_shannon_index=config.min_kmer_shannon_index,
-        )
-        for words in parts:
-            batches.append((words, s))
-        nb_reads.append(n)
+    nb_reads = [len(seqs) for seqs in dataset_seqs]
+    tasks = [
+        (s, start)
+        for s, seqs in enumerate(dataset_seqs)
+        for start in range(0, len(seqs), batch_reads)
+    ]
+
+    def device_extract(s, packed, validbits):
+        words = extract_packed(packed, validbits, k, multi=k > 31)
+        if config.min_kmer_shannon_index > 0.0:
+            if k > 31:
+                raise NotImplementedError(
+                    "-kmer-shannon-index currently supports k <= 31"
+                )
+            from simka_tpu.ops.kmers import (
+                SENTINEL,
+                kmer_shannon_index,
+            )
+
+            hi, lo = words
+            keep = (
+                kmer_shannon_index(hi, lo, k)
+                >= config.min_kmer_shannon_index
+            )
+            words = (
+                jnp.where(keep, hi, SENTINEL),
+                jnp.where(keep, lo, SENTINEL),
+            )
+        batches.append((tuple(w.ravel() for w in words), s))
+
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        pending = None
+        for i, (s, start) in enumerate(tasks):
+            if pending is None:
+                pending = ex.submit(
+                    _prepare_packed_batch,
+                    dataset_seqs[s], start, batch_reads, k,
+                )
+            packed, validbits = pending.result()
+            if i + 1 < len(tasks):
+                s2, start2 = tasks[i + 1]
+                pending = ex.submit(
+                    _prepare_packed_batch,
+                    dataset_seqs[s2], start2, batch_reads, k,
+                )
+            else:
+                pending = None
+            device_extract(s, packed, validbits)
 
     if not batches:
         nw = 2 if k <= 31 else 3

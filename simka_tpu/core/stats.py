@@ -116,6 +116,24 @@ class SimkaStatistics:
         kl_p = np.asarray(js.kullback_leibler, np.float64)
         kl = kl_p + kl_p.T
         if compute_complex and n:
+            # The reference's per-kmer Whittaker single-presence term
+            # abs((int)(u64)(c * K_j)) wraps to int32 when c * K_j >=
+            # 2^31 (SimkaAlgorithm.hpp:505); the closed form below sums
+            # the UNwrapped values (PARITY.md divergence 3). Warn when
+            # the data actually reaches that regime.
+            max_c = int(np.asarray(getattr(js, "max_count", 0)))
+            if max_c * int(solid.max(initial=0)) >= 2**31:
+                import warnings
+
+                warnings.warn(
+                    "whittaker: per-kmer counts reach the int32-wrap "
+                    "regime of the reference's single-presence "
+                    "accumulator; exact-mode whittaker values may "
+                    "diverge from reference output (PARITY.md "
+                    "divergence 3)",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
             K_i = solid[:, None].astype(np.float64)
             K_j = solid[None, :].astype(np.float64)
             only_i = (solid[:, None] - shared_kmers).astype(np.float64)

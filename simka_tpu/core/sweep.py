@@ -102,7 +102,15 @@ def _add_join_stats(a: JoinStats, b: JoinStats) -> JoinStats:
     SimkaDistance.cpp:156-213) -- every field is additive over
     disjoint k-mer ranges EXCEPT the per-bank totals, which the
     caller already made global via ``solid_override``/recomputation."""
-    return JoinStats(*(np.asarray(x) + np.asarray(y) for x, y in zip(a, b)))
+    vals = {
+        f: (
+            np.maximum(np.asarray(getattr(a, f)), np.asarray(getattr(b, f)))
+            if f == "max_count"  # a max, not a sum, over ranges
+            else np.asarray(getattr(a, f)) + np.asarray(getattr(b, f))
+        )
+        for f in JoinStats._fields
+    }
+    return JoinStats(**vals)
 
 
 def sweep_join_stats(

@@ -74,6 +74,20 @@ def min_main(argv) -> int:
     args = parser.parse_args(argv)
     from simka_tpu.minhash import pipeline as mp
 
+    if getattr(args, "filter", False):
+        # the reference sizes a Bloom filter from -max-memory
+        # (SimkaMinCount.hpp:1155-1161) and admits k-mers the Bloom
+        # has seen once (approximate, false positives depend on
+        # gatb-core Bloom internals -- which are not in the reference
+        # tree). We apply the EXACT total-count >= 2 semantics, so
+        # -max-memory has no effect here (see minhash/sketch.py).
+        print(
+            "[simka-min] -filter: exact >=2-occurrence semantics "
+            "(deterministic; reference Bloom is approximate), "
+            "-max-memory not used",
+            flush=True,
+        )
+
     if args.cmd == "sketch":
         mp.sketch_command(
             args.input, args.out, args.kmer_size, args.nb_kmers,

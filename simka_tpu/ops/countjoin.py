@@ -82,6 +82,12 @@ class JoinStats(NamedTuple):
     hellinger: jnp.ndarray  # [N, N] i64 upper: sum isqrt(Ca*Cb) (simple)
     whittaker: jnp.ndarray  # [N, N] i64 upper, int32-wrap pair terms (complex)
     kullback_leibler: jnp.ndarray  # [N, N] f64 upper pair terms (complex)
+    max_count: jnp.ndarray  # scalar i64: max per-(kmer, bank) count.
+    # Diagnostic for the Whittaker single-presence closed form, which
+    # (unlike the pair terms) does NOT emulate the reference's int32
+    # wrap (SimkaAlgorithm.hpp:505; PARITY.md divergence 3) -- the
+    # finalizer warns when counts reach the wrapping regime. pmax, not
+    # psum, under sharding.
 
 
 def _suffix_min(x):
@@ -536,6 +542,7 @@ def _stats_from_rows(
     d_max = jnp.max(jnp.where(newk, seg_len, 0))
     n_shared = jnp.sum(newk & (seg_len >= 2)).astype(jnp.int64)
 
+    max_cnt = jnp.max(jnp.where(kept2, cnt2, 0)).astype(jnp.int64)
     if (
         pallas_pairs
         and not simple
@@ -576,9 +583,58 @@ def _stats_from_rows(
             hellinger=zero_i,
             whittaker=zero_i,
             kullback_leibler=zero_f,
+            max_count=max_cnt,
         )
 
     # ---- pass 3: shift-pair accumulation ----
+    # Default channels at N*N <= 128 take the PAIR-BIN path: one
+    # einsum per shift whose rhs is a one-hot over the JOINT pair bin
+    # sid_a * N + sid_b and whose lhs lanes carry every stat channel
+    # and every count limb at once -- 4 MXU passes per shift collapse
+    # to 1, using the lanes an [B, N] one-hot would leave idle.
+    use_packed = (not simple) and (not complex_) and N * N <= 128
+
+    # global totals feeding the Whittaker/KL pair terms; a sweep over
+    # hash ranges must inject the whole-space totals here
+    K = solid_per_bank if solid_override is None else solid_override
+    # max_cnt doubles as the runtime bound on every count-derived
+    # einsum value: lets _pair_bin_int skip high limbs when coverage
+    # is low (the common case; see its docstring)
+    if use_packed:
+        acc = _pairbin_pass(
+            seg_e,
+            jnp.where(kept2, sid2, N),
+            jnp.where(kept2, cnt2, 0),
+            kept2,
+            d_max,
+            max_cnt,
+            n_banks=N,
+            count_bits=count_bits,
+            vary_axes=vary_axes,
+        )
+        zero_f = jnp.zeros((N, N), jnp.float64)
+        zero_i = jnp.zeros((N, N), jnp.int64)
+        if vary_axes:
+            zero_f = jax.lax.pcast(zero_f, vary_axes, to="varying")
+            zero_i = jax.lax.pcast(zero_i, vary_axes, to="varying")
+        acc = dict(
+            acc,
+            chord=zero_f,
+            hellinger=zero_i,
+            whittaker=zero_i,
+            kl=zero_f,
+        )
+        return _assemble_join_stats(
+            acc,
+            n_distinct,
+            n_shared,
+            distinct_per_bank,
+            solid_per_bank,
+            chord_n2_per_bank,
+            max_cnt,
+            psum_axis,
+        )
+
     # pad so a dynamic_slice at offset d (< N) never reads OOB
     padlen = N + 1
     seg_p = jnp.concatenate([seg_e, jnp.full((padlen,), E, jnp.int32)])
@@ -596,13 +652,6 @@ def _stats_from_rows(
         == jnp.arange(N, dtype=jnp.int32)[None, None, :]
     ).astype(jnp.float32)
     bank_range = jnp.arange(N, dtype=jnp.int32)[None, None, :]
-    # global totals feeding the Whittaker/KL pair terms; a sweep over
-    # hash ranges must inject the whole-space totals here
-    K = solid_per_bank if solid_override is None else solid_override
-    # runtime bound on every count-derived einsum value: lets
-    # _pair_bin_int skip high limbs when coverage is low (the common
-    # case; see its docstring)
-    max_cnt = jnp.max(jnp.where(kept2, cnt2, 0)).astype(jnp.int64)
 
     def shift_body(d, acc):
         seg_b = jax.lax.dynamic_slice_in_dim(seg_p, d, E)
@@ -703,7 +752,28 @@ def _stats_from_rows(
             lambda x: jax.lax.pcast(x, vary_axes, to="varying"), acc0
         )
     acc = jax.lax.fori_loop(1, d_max, shift_body, acc0)
+    return _assemble_join_stats(
+        acc,
+        n_distinct,
+        n_shared,
+        distinct_per_bank,
+        solid_per_bank,
+        chord_n2_per_bank,
+        max_cnt,
+        psum_axis,
+    )
 
+
+def _assemble_join_stats(
+    acc,
+    n_distinct,
+    n_shared,
+    distinct_per_bank,
+    solid_per_bank,
+    chord_n2_per_bank,
+    max_cnt,
+    psum_axis,
+):
     out = JoinStats(
         nb_distinct=n_distinct,
         nb_shared=n_shared,
@@ -718,6 +788,7 @@ def _stats_from_rows(
         hellinger=acc["hellinger"],
         whittaker=acc["whittaker"],
         kullback_leibler=acc["kl"],
+        max_count=max_cnt,
     )
     if psum_axis:
         # per-bank totals are already global (psum'd above); everything
@@ -733,5 +804,137 @@ def _stats_from_rows(
             hellinger=jax.lax.psum(out.hellinger, psum_axis),
             whittaker=jax.lax.psum(out.whittaker, psum_axis),
             kullback_leibler=jax.lax.psum(out.kullback_leibler, psum_axis),
+            max_count=jax.lax.pmax(out.max_count, psum_axis),
         )
     return out
+
+
+def _pairbin_pass(
+    seg_e,
+    sid_m,
+    cnt_m,
+    kept2,
+    d_max,
+    max_cnt,
+    *,
+    n_banks: int,
+    count_bits: int,
+    vary_axes: tuple,
+):
+    """Default-channel pair accumulation binned by the JOINT pair id.
+
+    Replaces the reference's per-pair scalar accumulator loops
+    (SimkaAlgorithm.hpp:356-378) for the default distance channels at
+    N*N <= 128. The per-shift einsum path issues 4 one-hot MXU passes
+    per offset d, each [B, N]x[B, N] -- at N << 128 the systolic array
+    pads both lane dims to 128, wasting >90% of every pass. Here ONE
+    pass per shift carries everything:
+
+      rhs [B, N*N]:      one-hot of bin = sid_a * N + sid_b (pair mask
+        folded in: unpaired rows get the out-of-range sentinel bin)
+      lhs [B, 1 + 3*L]:  channels [pair(0/1)] + one 8-bit limb triple
+        [C_a, C_b, min(Ca, Cb)] per active limb
+
+    The [C, N*N] output holds co-presence, sum C_a, sum C_b and
+    sum min(Ca, Cb) for every ordered pair (a, b) -- every channel x
+    bin product is consumed; there are no discarded blocks. Extra
+    count limbs ride as extra lhs lanes in the SAME MXU pass; the
+    number of active limbs L is picked ONCE at runtime from max_cnt
+    via lax.switch over per-level loops (a lax.cond per limb per
+    shift measurably drags the loop; typical low-coverage metagenomes
+    run the 1-limb level). Measured on v5e at E=2^24, N=8: 41 ms vs
+    52 ms for the 4-pass per-shift path
+    (scripts/profiling/bench_pairstage.py; the bf16-operand variant
+    of the same scheme measured slower, 47 ms).
+
+    Exactness: operands are one-hots (0/1) and 8-bit limbs (<= 255),
+    exact through the MXU's default bf16 operand conversion; panel
+    sums stay < BLOCK_ROWS * 255 < 2^21, exact in the f32
+    accumulator; cross-panel sums are int64.
+
+    Args: ``sid_m``/``cnt_m`` are per-row bank and count with dropped
+    rows already masked to the sentinel bank N / count 0.
+    """
+    N = n_banks
+    E = seg_e.shape[0]
+    NB = N * N
+    n_limbs = max(1, -(-count_bits // 8))
+    padlen = N + 1
+    seg_p = jnp.concatenate([seg_e, jnp.full((padlen,), E, jnp.int32)])
+    sid_p = jnp.concatenate([sid_m, jnp.full((padlen,), N, sid_m.dtype)])
+    cnt_p = jnp.concatenate([cnt_m, jnp.zeros((padlen,), cnt_m.dtype)])
+    bin_iota = jnp.arange(NB, dtype=jnp.int32)
+
+    def make_loop(active_limbs):
+        def run():
+            def shift_body(d, acc):
+                seg_b = jax.lax.dynamic_slice_in_dim(seg_p, d, E)
+                sid_b = jax.lax.dynamic_slice_in_dim(sid_p, d, E)
+                cnt_b = jax.lax.dynamic_slice_in_dim(cnt_p, d, E)
+                m = kept2 & (seg_e == seg_b)
+                pairbin = jnp.where(m, sid_m * N + sid_b, NB)
+                oh = (
+                    _panels(pairbin, fill=NB)[..., None] == bin_iota
+                ).astype(jnp.float32)
+                mn = jnp.minimum(cnt_m, cnt_b)
+                chans = [m.astype(jnp.int32)]
+                for limb in range(active_limbs):
+                    sh = 8 * limb
+                    chans += [
+                        (cnt_m >> sh) & 0xFF,
+                        (cnt_b >> sh) & 0xFF,
+                        (mn >> sh) & 0xFF,
+                    ]
+                ch = jnp.stack(
+                    [_panels(c).astype(jnp.float32) for c in chans],
+                    axis=-1,
+                )
+                out = jnp.einsum(
+                    "brc,brn->bcn",
+                    ch,
+                    oh,
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.int64).sum(axis=0)
+                out = out.reshape(-1, N, N)
+                ab = ba = bray = None
+                for limb in range(active_limbs):
+                    sh = 8 * limb
+                    a_l = out[1 + 3 * limb] << sh
+                    b_l = out[2 + 3 * limb] << sh
+                    m_l = out[3 + 3 * limb] << sh
+                    ab = a_l if ab is None else ab + a_l
+                    ba = b_l if ba is None else ba + b_l
+                    bray = m_l if bray is None else bray + m_l
+                return {
+                    "shared_distinct": acc["shared_distinct"] + out[0],
+                    "shared_kmers_ab": acc["shared_kmers_ab"] + ab,
+                    "shared_kmers_ba": acc["shared_kmers_ba"] + ba,
+                    "bray": acc["bray"] + bray,
+                }
+
+            acc0 = {
+                "shared_distinct": jnp.zeros((N, N), jnp.int64),
+                "shared_kmers_ab": jnp.zeros((N, N), jnp.int64),
+                "shared_kmers_ba": jnp.zeros((N, N), jnp.int64),
+                "bray": jnp.zeros((N, N), jnp.int64),
+            }
+            if vary_axes:
+                acc0 = jax.tree.map(
+                    lambda x: jax.lax.pcast(x, vary_axes, to="varying"),
+                    acc0,
+                )
+            return jax.lax.fori_loop(1, d_max, shift_body, acc0)
+
+        return run
+
+    if n_limbs == 1:
+        return make_loop(1)()
+    # runtime limb level: 0 while max_cnt < 256, 1 below 2^16, ...
+    level = jnp.sum(
+        jnp.asarray(
+            [max_cnt >= (1 << (8 * L)) for L in range(1, n_limbs)]
+        ).astype(jnp.int32)
+    )
+    return jax.lax.switch(
+        level, [make_loop(L + 1) for L in range(n_limbs)]
+    )

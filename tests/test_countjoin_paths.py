@@ -23,6 +23,19 @@ def _random_instances(rng, E, n_banks, hi_bits, n_sentinel):
     return jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(sid)
 
 
+DEFAULT_FIELDS = [
+    "nb_distinct",
+    "nb_shared",
+    "distinct_per_bank",
+    "solid_per_bank",
+    "chord_n2_per_bank",
+    "shared_kmers_ab",
+    "shared_kmers_ba",
+    "shared_distinct",
+    "bray_numerator",
+]
+
+
 @pytest.mark.parametrize(
     "n_banks,hi_bits,amin,amax",
     [(8, 10, 1, 10**9), (8, 10, 2, 3), (6, 0, 2, 10**9), (3, 21, 1, 2)],
@@ -42,6 +55,76 @@ def test_packed_path_matches_generic(n_banks, hi_bits, amin, amax):
         hi_bits=32, **kw,  # forces the generic multi-word path
     )
     for name in a._fields:
+        ga, gb = np.asarray(getattr(a, name)), np.asarray(
+            getattr(b, name)
+        )
+        assert np.array_equal(ga, gb), (name, ga, gb)
+
+
+@pytest.mark.parametrize(
+    "n_banks,amin", [(2, 1), (3, 1), (8, 1), (8, 2), (16, 2), (64, 1)]
+)
+def test_pairbin_path_matches_shift_loop(n_banks, amin):
+    """Default channels take the pair-bin MXU path (N*N <= 128; the
+    larger-N cases guard the shared loop path); running with
+    simple+complex forces the per-shift loop, which computes the same
+    default fields -- they must agree bit-for-bit."""
+    rng = np.random.default_rng(7)
+    hi, lo, sid = _random_instances(rng, 8192, n_banks, 10, 200)
+    a = count_join_stats(
+        hi, lo, sid, jnp.int32(amin), jnp.int64(10**9),
+        n_banks=n_banks, hi_bits=10,
+    )
+    b = count_join_stats(
+        hi, lo, sid, jnp.int32(amin), jnp.int64(10**9),
+        n_banks=n_banks, hi_bits=10, simple=True, complex_=True,
+    )
+    for name in DEFAULT_FIELDS:
+        ga, gb = np.asarray(getattr(a, name)), np.asarray(
+            getattr(b, name)
+        )
+        assert np.array_equal(ga, gb), (name, ga, gb)
+
+
+def test_pairbin_path_multi_panel():
+    """Rows spanning several einsum panels (incl. a ragged last
+    panel) must fold identically."""
+    rng = np.random.default_rng(5)
+    hi, lo, sid = _random_instances(rng, 3 * 8192 + 1000, 8, 10, 300)
+    a = count_join_stats(
+        hi, lo, sid, jnp.int32(1), jnp.int64(10**9),
+        n_banks=8, hi_bits=10,
+    )
+    b = count_join_stats(
+        hi, lo, sid, jnp.int32(1), jnp.int64(10**9),
+        n_banks=8, hi_bits=10, simple=True, complex_=True,
+    )
+    for name in DEFAULT_FIELDS:
+        ga, gb = np.asarray(getattr(a, name)), np.asarray(
+            getattr(b, name)
+        )
+        assert np.array_equal(ga, gb), (name, ga, gb)
+
+
+def test_pairbin_path_multi_limb_counts():
+    """Counts past 255 must flow through the higher limb lanes of
+    the pair-bin path without losing exactness."""
+    rng = np.random.default_rng(11)
+    E, n_banks = 1 << 15, 4
+    hi = np.zeros(E, np.uint32)
+    lo = rng.integers(0, 24, size=E, dtype=np.uint64).astype(np.uint32)
+    sid = rng.integers(0, n_banks, size=E).astype(np.int32)
+    args = (jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(sid),
+            jnp.int32(1), jnp.int64(10**9))
+    _, per_cell = np.unique(
+        lo.astype(np.int64) * n_banks + sid, return_counts=True
+    )
+    assert per_cell.max() > 255  # multi-limb regime reached
+    a = count_join_stats(*args, n_banks=n_banks, hi_bits=0)
+    b = count_join_stats(
+        *args, n_banks=n_banks, hi_bits=0, simple=True, complex_=True
+    )
+    for name in DEFAULT_FIELDS:
         ga, gb = np.asarray(getattr(a, name)), np.asarray(
             getattr(b, name)
         )

@@ -60,6 +60,34 @@ def test_shard_invariance(n_shards):
             np.testing.assert_array_equal(a, b, err_msg=name)
 
 
+@pytest.mark.parametrize("n_shards", [2, 8])
+def test_shard_invariance_default_channels(n_shards):
+    """Default channels take the pair-bin MXU path; under shard_map
+    it must still match the single-device result bit-for-bit (the
+    vary_axes/pcast handling of its fori carry)."""
+    if len(jax.devices()) < n_shards:
+        pytest.skip("not enough devices")
+    rng = np.random.default_rng(3)
+    n_banks = 8
+    hi, lo, sid = random_instances(rng, 20_000, n_banks)
+
+    js1 = count_join_stats(
+        hi, lo, sid, np.int32(1), np.int64(10**9), n_banks=n_banks
+    )
+    mesh = make_mesh(n_shards)
+    ws, ss = shard_instances_by_hash((hi, lo), sid, n_shards)
+    jsN = sharded_count_join_stats(
+        ws, ss, 1, 10**9, mesh=mesh, n_banks=n_banks
+    )
+    for name in js1._fields:
+        a = np.asarray(getattr(js1, name))
+        b = np.asarray(getattr(jsN, name))
+        if a.dtype.kind == "f":
+            np.testing.assert_allclose(a, b, rtol=1e-12, err_msg=name)
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=name)
+
+
 def test_shard_invariance_matrices_bitexact():
     """Full pipeline: formatted CSVs identical across shard counts."""
     if len(jax.devices()) < 4:
