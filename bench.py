@@ -5,16 +5,27 @@ Measures the fused sort -> count -> join -> distance-stats program
 SURVEY.md §3.2-3.3) on a synthetic canonical k-mer instance stream
 with metagenome-like multiplicity (~2x coverage, 8 samples).
 
-Kept to ONE jitted program: the remote TPU compile service in this
-environment has high-variance latency, so the bench minimizes compile
-surface. (K-mer extraction is benchmarked separately in profiling; it
-runs at ~1G windows/s and is never the bottleneck.)
+Output contract (driver parses stdout): the kernel JSON line
+{"metric", "value", "unit", "vs_baseline"} is printed and FLUSHED the
+moment the kernel measurement finishes.  The end-to-end FASTA->matrices
+pass then runs under a hard wall-clock budget (default 240 s,
+SIMKA_TPU_BENCH_E2E_BUDGET_S to change, 0 to skip); if it completes it
+prints a second JSON line REPEATING the kernel fields plus the e2e
+fields, so whichever line is parsed carries the headline value.  If the
+budget expires (remote-service compiles can take minutes, and a stuck
+C call cannot be interrupted by signals) a watchdog thread exits the
+process with status 0 -- the kernel line is already on stdout.
+Round 2 lost its number to exactly this: everything was buffered
+behind the e2e pass and the driver timed out with zero output.
+
+Kept to ONE jitted program per measurement: the remote TPU compile
+service in this environment has high-variance latency, so the bench
+minimizes compile surface.
 
 Timing note: on the axon TPU platform jax.block_until_ready does not
 reliably block, so every timed iteration fetches a scalar derived from
 the full output to host.
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline compares against CPU simka's order-of-magnitude throughput
 on a multicore node (~10M k-mers/s; the repo publishes no absolute
 numbers -- SURVEY.md §6 -- so this anchor is recorded here explicitly).
@@ -23,7 +34,9 @@ numbers -- SURVEY.md §6 -- so this anchor is recorded here explicitly).
 import json
 import os
 import shutil
+import sys
 import tempfile
+import threading
 import time
 
 import numpy as np
@@ -32,68 +45,7 @@ import numpy as np
 CPU_SIMKA_BASELINE_KMERS_PER_SEC = 10_000_000.0
 
 
-def bench_end_to_end():
-    """FASTA -> all distance matrices wall-clock (reads/s, kmers/s).
-
-    Measures the WHOLE product path -- native ingest, device k-mer
-    extraction, fused count+join, host distance formulas, csv.gz --
-    on a synthetic 4-sample metagenome (100k reads x 100 bp each).
-    The first run warms the XLA compile cache; the second is timed
-    (steady-state, which is what a production sweep over many inputs
-    experiences).
-    """
-    from simka_tpu.config import SimkaConfig
-    from simka_tpu.core.pipeline import run_simka
-
-    n_samples, n_reads, read_len, k = 4, 100_000, 100, 21
-    rng = np.random.default_rng(7)
-    tmp = tempfile.mkdtemp(prefix="simka_bench_")
-    try:
-        lines = []
-        bases = np.frombuffer(b"ACGT", np.uint8)
-        for s in range(n_samples):
-            path = os.path.join(tmp, f"S{s}.fasta")
-            codes = rng.integers(0, 4, size=(n_reads, read_len))
-            seqs = bases[codes]
-            with open(path, "wb") as f:
-                for i in range(n_reads):
-                    f.write(b">r%d\n" % i)
-                    f.write(seqs[i].tobytes())
-                    f.write(b"\n")
-            lines.append(f"S{s}: {path}")
-        input_txt = os.path.join(tmp, "input.txt")
-        with open(input_txt, "w") as f:
-            f.write("\n".join(lines) + "\n")
-
-        def once(tag):
-            out = os.path.join(tmp, f"out_{tag}")
-            t0 = time.perf_counter()
-            run_simka(
-                SimkaConfig(
-                    input_filename=input_txt,
-                    output_dir=out,
-                    kmer_size=k,
-                    abundance_min=2,
-                    verbose=False,
-                    n_shards=1,
-                )
-            )
-            return time.perf_counter() - t0
-
-        once("warm")
-        dt = once("timed")
-        total_reads = n_samples * n_reads
-        total_kmers = total_reads * (read_len - k + 1)
-        return {
-            "e2e_wall_s": round(dt, 2),
-            "e2e_reads_per_sec": round(total_reads / dt, 1),
-            "e2e_kmers_per_sec": round(total_kmers / dt, 1),
-        }
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-
-
-def main():
+def run_kernel_bench():
     import functools
 
     import jax
@@ -134,22 +86,142 @@ def main():
     dt = (time.perf_counter() - t0) / iters
 
     rate = E / dt
+    return {
+        "metric": "kmers_counted_joined_per_sec_per_chip",
+        "value": round(rate, 1),
+        "unit": "kmers/s",
+        "vs_baseline": round(rate / CPU_SIMKA_BASELINE_KMERS_PER_SEC, 3),
+    }
 
-    e2e = bench_end_to_end()
 
-    print(
-        json.dumps(
-            {
-                "metric": "kmers_counted_joined_per_sec_per_chip",
-                "value": round(rate, 1),
-                "unit": "kmers/s",
-                "vs_baseline": round(
-                    rate / CPU_SIMKA_BASELINE_KMERS_PER_SEC, 3
-                ),
-                **e2e,
-            }
-        )
-    )
+def run_minhash_bench():
+    """SimkaMin sketch throughput: k-mer instances hashed+sketched /s.
+
+    Measures the device murmur64 + bottom-s selection program
+    (reference hot loop: src/simkaMin/SimkaMinCount.hpp:217-267).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from simka_tpu.minhash.device import device_sketch_update
+
+    E = 1 << 24
+    s = 100_000
+    rng = np.random.default_rng(1)
+    vals = rng.integers(0, 1 << 42, size=E, dtype=np.uint64)
+    hi = jnp.asarray((vals >> np.uint64(32)).astype(np.uint32))
+    lo = jnp.asarray((vals & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+
+    @jax.jit
+    def step(hi, lo):
+        h, c = device_sketch_update(hi, lo, seed=100, sketch_size=s)
+        return (h[0] + c[0]).astype(jnp.float32)
+
+    float(np.asarray(step(hi, lo)))  # compile + warmup
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        float(np.asarray(step(hi, lo)))
+    dt = (time.perf_counter() - t0) / iters
+    return {"simkamin_sketch_kmers_per_sec": round(E / dt, 1)}
+
+
+def bench_end_to_end(deadline):
+    """FASTA -> all distance matrices wall-clock (reads/s, kmers/s).
+
+    Measures the WHOLE product path -- native ingest, device k-mer
+    extraction, fused count+join, host distance formulas, csv.gz --
+    on a synthetic 4-sample metagenome (100k reads x 100 bp each).
+    The first run warms the XLA compile cache; a second steady-state
+    run is timed only if the deadline allows.
+    """
+    from simka_tpu.config import SimkaConfig
+    from simka_tpu.core.pipeline import run_simka
+
+    n_samples, n_reads, read_len, k = 4, 100_000, 100, 21
+    rng = np.random.default_rng(7)
+    tmp = tempfile.mkdtemp(prefix="simka_bench_")
+    try:
+        lines = []
+        bases = np.frombuffer(b"ACGT", np.uint8)
+        for s in range(n_samples):
+            path = os.path.join(tmp, f"S{s}.fasta")
+            codes = rng.integers(0, 4, size=(n_reads, read_len))
+            seqs = bases[codes]
+            with open(path, "wb") as f:
+                for i in range(n_reads):
+                    f.write(b">r%d\n" % i)
+                    f.write(seqs[i].tobytes())
+                    f.write(b"\n")
+            lines.append(f"S{s}: {path}")
+        input_txt = os.path.join(tmp, "input.txt")
+        with open(input_txt, "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+        def once(tag):
+            out = os.path.join(tmp, f"out_{tag}")
+            t0 = time.perf_counter()
+            run_simka(
+                SimkaConfig(
+                    input_filename=input_txt,
+                    output_dir=out,
+                    kmer_size=k,
+                    abundance_min=2,
+                    verbose=False,
+                    n_shards=1,
+                )
+            )
+            return time.perf_counter() - t0
+
+        dt = once("warm")
+        warm_only = True
+        # a steady-state rerun costs ~dt (everything is compile-cached);
+        # only take it if it fits comfortably before the watchdog fires
+        if time.monotonic() + 1.5 * dt < deadline:
+            dt = once("timed")
+            warm_only = False
+        total_reads = n_samples * n_reads
+        total_kmers = total_reads * (read_len - k + 1)
+        return {
+            "e2e_wall_s": round(dt, 2),
+            "e2e_reads_per_sec": round(total_reads / dt, 1),
+            "e2e_kmers_per_sec": round(total_kmers / dt, 1),
+            "e2e_warm_only": warm_only,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main():
+    kernel = run_kernel_bench()
+    print(json.dumps(kernel), flush=True)
+
+    budget = float(os.environ.get("SIMKA_TPU_BENCH_E2E_BUDGET_S", "240"))
+    if budget <= 0:
+        return
+    deadline = time.monotonic() + budget
+
+    def _bail():
+        # hard exit: a remote compile stuck in a C call ignores signals
+        # and thread exceptions; the kernel line is already flushed.
+        sys.stdout.flush()
+        os._exit(0)
+
+    watchdog = threading.Timer(budget, _bail)
+    watchdog.daemon = True
+    watchdog.start()
+
+    extra = {}
+    try:
+        extra.update(run_minhash_bench())
+    except Exception as e:  # pragma: no cover - defensive
+        extra["simkamin_bench_error"] = repr(e)[:200]
+    try:
+        extra.update(bench_end_to_end(deadline - 5.0))
+    except Exception as e:  # pragma: no cover - defensive
+        extra["e2e_error"] = repr(e)[:200]
+    watchdog.cancel()
+    print(json.dumps({**kernel, **extra}), flush=True)
 
 
 if __name__ == "__main__":

@@ -33,6 +33,13 @@ import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
 
+# optional platform override (e.g. SIMKA_TPU_PLATFORM=cpu): some TPU
+# plugins register themselves regardless of the JAX_PLATFORMS env var,
+# so offer a config-level switch that wins over plugin auto-selection
+_platform_override = _os.environ.get("SIMKA_TPU_PLATFORM")
+if _platform_override:
+    _jax.config.update("jax_platforms", _platform_override)
+
 # persistent compile cache: the fused count/join program is large and
 # identical across runs of the same shape class
 _cache_dir = _os.environ.get(

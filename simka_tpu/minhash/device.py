@@ -1,0 +1,134 @@
+"""On-device SimkaMin sketch math: MurmurHash3 + bottom-s selection.
+
+The reference hashes every canonical k-mer instance with
+MurmurHash3_x64_128 and keeps the s smallest distinct h1 values in a
+streaming max-heap (SelectKmersCommand,
+/root/reference/src/simkaMin/SimkaMinCount.hpp:217-267, 311-338).
+Round 2 ran that hash as host-side numpy over the full instance
+stream -- the TPU sat idle through the most parallel stage of the
+whole SimkaMin pipeline. Here the hash is a handful of uint64 vector
+ops (XLA lowers u64 multiplies to u32 pairs on TPU) fused into the
+same program as the k-mer extraction's output, and the bottom-s
+selection is the standard sort + run-length + prefix pattern used by
+the exact pipeline (ops/spectrum.py).
+
+Exactness: u64 multiply/xor/shift are exact integer ops on any
+backend; no MXU (bf16) path is involved, so device hashes are
+bit-identical to the host murmur (tests/test_minhash_device.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from simka_tpu.ops.kmers import SENTINEL
+
+_C1 = 0x87C37B91114253D5
+_C2 = 0x4CF5AD432745937F
+_F1 = 0xFF51AFD7ED558CCD
+_F2 = 0xC4CEB9FE1A85EC53
+
+FULL64 = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _rotl64(x, r: int):
+    return (x << jnp.uint64(r)) | (x >> jnp.uint64(64 - r))
+
+
+def _fmix64(h):
+    h = h ^ (h >> jnp.uint64(33))
+    h = h * jnp.uint64(_F1)
+    h = h ^ (h >> jnp.uint64(33))
+    h = h * jnp.uint64(_F2)
+    h = h ^ (h >> jnp.uint64(33))
+    return h
+
+
+def murmur3_u64_device(values, seed: int):
+    """h1 of MurmurHash3_x64_128 over each uint64 (as 8 LE bytes).
+
+    Mirrors minhash/murmur.py (the numpy specialization of Appleby's
+    public-domain algorithm for 8-byte keys: one k1 tail mix + the
+    finalization); reference call site SimkaMinCount.hpp:248-250.
+    """
+    values = values.astype(jnp.uint64)
+    h1 = jnp.full(values.shape, jnp.uint64(seed))
+    h2 = jnp.full(values.shape, jnp.uint64(seed))
+    k1 = values * jnp.uint64(_C1)
+    k1 = _rotl64(k1, 31)
+    k1 = k1 * jnp.uint64(_C2)
+    h1 = h1 ^ k1
+    length = jnp.uint64(8)
+    h1 = h1 ^ length
+    h2 = h2 ^ length
+    h1 = h1 + h2
+    h2 = h2 + h1
+    h1 = _fmix64(h1)
+    h2 = _fmix64(h2)
+    h1 = h1 + h2
+    # h2 += h1 omitted: only h1 is used
+    return h1
+
+
+@functools.partial(jax.jit, static_argnames=("seed",))
+def hash_kmer_words(hi, lo, *, seed: int):
+    """Murmur-hash canonical k-mer words on device.
+
+    ``hi``/``lo``: uint32 arrays (any shape) with SENTINEL marking
+    invalid windows. Returns (h uint64, valid bool) of the same shape;
+    invalid positions hash to FULL64 (callers should still mask by
+    ``valid`` -- a real hash can collide with FULL64).
+    """
+    valid = hi != SENTINEL
+    v = (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64)
+    h = murmur3_u64_device(v, seed)
+    return jnp.where(valid, h, FULL64), valid
+
+
+def _suffix_min(x):
+    return jnp.flip(jax.lax.cummin(jnp.flip(x)))
+
+
+@functools.partial(jax.jit, static_argnames=("seed", "sketch_size"))
+def device_sketch_update(hi, lo, *, seed: int, sketch_size: int):
+    """One-program bottom-s sketch of a k-mer instance stream.
+
+    hash -> sort -> run-length distinct counts -> bottom-s prefix,
+    entirely on device (the fused analog of the reference's
+    SelectKmersCommand hot loop, SimkaMinCount.hpp:217-267). Invalid
+    windows (SENTINEL ``hi``) are excluded.
+
+    Returns (hashes [s] uint64 ascending, counts [s] uint32); unused
+    slots (fewer than s distinct hashes) hold FULL64 / 0.
+
+    NOTE the streaming-heap count quirk of the largest sketch member
+    (minhash/sketch.py docstring) depends on instance ORDER, which the
+    sort destroys -- product sketching applies that correction from
+    the first/second-occurrence positions (ops.spectrum.hash_spectrum);
+    this fused program is the order-free fast path used by benchmarks
+    and by callers that only need membership + total counts.
+    """
+    E = hi.size
+    h, _valid = hash_kmer_words(hi.ravel(), lo.ravel(), seed=seed)
+    h = jax.lax.sort((h,), num_keys=1)[0]
+    idx = jnp.arange(E, dtype=jnp.int32)
+    boundary = jnp.concatenate([jnp.array([True]), h[1:] != h[:-1]])
+    starts_after = jnp.concatenate(
+        [jnp.where(boundary, idx, E)[1:], jnp.array([E], jnp.int32)]
+    )
+    count = _suffix_min(starts_after) - idx
+    uniq = boundary & (h != FULL64)
+    key = jnp.where(uniq, h, FULL64)
+    cnt = jnp.where(uniq, count, 0).astype(jnp.uint32)
+    key, cnt = jax.lax.sort((key, cnt), num_keys=1)
+    s = min(sketch_size, E)
+    out_h = key[:s]
+    out_c = jnp.where(out_h != FULL64, cnt[:s], 0)
+    if s < sketch_size:
+        pad = sketch_size - s
+        out_h = jnp.concatenate([out_h, jnp.full((pad,), FULL64)])
+        out_c = jnp.concatenate([out_c, jnp.zeros((pad,), jnp.uint32)])
+    return out_h, out_c

@@ -39,7 +39,6 @@ from typing import List, Tuple
 import numpy as np
 
 from simka_tpu.io.bank import encode_batch
-from simka_tpu.minhash.murmur import murmur3_u64
 from simka_tpu.ops.kmers import extract_canonical_kmers
 
 # gatb-core base codes: (ascii >> 1) & 3 => A=0, C=1, T=2, G=3
@@ -60,7 +59,7 @@ def encode_batch_gatb(seqs, max_len=None):
 
 
 def compute_sketch(
-    seqs: List[bytes],
+    seqs,
     kmer_size: int,
     sketch_size: int,
     seed: int,
@@ -69,12 +68,20 @@ def compute_sketch(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Bottom-s sketch of one sample.
 
+    ``seqs``: list, iterator, or zero-arg provider of read byte
+    strings (streamed in O(batch) host memory).
+
     Returns (hashes ascending uint64, counts uint32), length <= s.
     """
+    from itertools import islice
+
     k = kmer_size
-    his, los = [], []
-    for start in range(0, len(seqs), batch_reads):
-        chunk = seqs[start : start + batch_reads]
+    hash_parts = []
+    it = iter(seqs() if callable(seqs) else seqs)
+    while True:
+        chunk = list(islice(it, batch_reads))
+        if not chunk:
+            break
         max_len = max((len(s) for s in chunk), default=k)
         width = -(-max(max_len, k) // 32) * 32
         codes, _ = encode_batch_gatb(chunk, max_len=width)
@@ -85,27 +92,27 @@ def compute_sketch(
             )
         import jax.numpy as jnp
 
+        from simka_tpu.minhash.device import hash_kmer_words
+
         # comp_xor=2: gatb encoding complements A<->T (0<->2), C<->G (1<->3)
         hi, lo, _ = extract_canonical_kmers(
             jnp.asarray(codes), k, comp_xor=2
         )
-        his.append(np.asarray(hi).ravel())
-        los.append(np.asarray(lo).ravel())
-    if not his:
-        return np.empty(0, np.uint64), np.empty(0, np.uint32)
-
-    hi = np.concatenate(his)
-    lo = np.concatenate(los)
-    valid = hi != np.uint32(0xFFFFFFFF)
-    values = (hi[valid].astype(np.uint64) << np.uint64(32)) | lo[
-        valid
-    ].astype(np.uint64)
-    if len(values) == 0:
+        # hash ON DEVICE fused with the extraction output (bit-equal
+        # to the host murmur; tests/test_minhash_device.py) -- the
+        # round-2 host-numpy hash left the TPU idle for the most
+        # parallel stage of the sketch (SimkaMinCount.hpp:248-250)
+        h, valid = hash_kmer_words(hi, lo, seed=seed)
+        h = np.asarray(h).ravel()
+        hash_parts.append(h[np.asarray(valid).ravel()])
+    if not hash_parts:
         return np.empty(0, np.uint64), np.empty(0, np.uint32)
 
     # per-INSTANCE hash stream in read order (the h_max correction
     # below depends on occurrence positions); grouping runs on device
-    stream = murmur3_u64(values, seed)
+    stream = np.concatenate(hash_parts)
+    if len(stream) == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.uint32)
     from simka_tpu.ops.spectrum import hash_spectrum
 
     uniq, counts, first_idx, second_idx = hash_spectrum(
