@@ -58,6 +58,26 @@ from simka_tpu.ops.kmers import SENTINEL
 
 LOG2 = 0.6931471805599453
 
+# N above which the fused Pallas pair kernel (O(E) HBM traffic) beats
+# the per-shift einsum loop (O(E * d_max)); the triangle pair-bin
+# einsum covers N <= 16 in one MXU pass per shift, so the crossover
+# sits right where that regime ends (chip measurements:
+# scripts/profiling/bench_large_n.py).
+PALLAS_AUTO_MIN_BANKS = 17
+
+
+def pallas_pairs_env():
+    """Tri-state SIMKA_TPU_PALLAS_PAIRS: '1' force on, '0' force off,
+    unset -> None = auto (Pallas for wide N on TPU)."""
+    import os
+
+    v = os.environ.get("SIMKA_TPU_PALLAS_PAIRS")
+    if v == "1":
+        return True
+    if v == "0":
+        return False
+    return None
+
 
 class JoinStats(NamedTuple):
     """Raw sufficient statistics, all order-independent reductions.
@@ -102,6 +122,23 @@ def _panels(x, fill=0):
     if pad:
         x = jnp.pad(x, (0, pad), constant_values=fill)
     return x.reshape(nb, BLOCK_ROWS)
+
+
+def _shift_padded(arrays, fills, padlen: int):
+    """Append ``padlen`` fill rows to each array so a dynamic_slice at
+    offset d <= padlen never reads out of bounds (shared scaffold of
+    the per-shift and pair-bin accumulation passes)."""
+    return tuple(
+        jnp.concatenate([a, jnp.full((padlen,), f, a.dtype)])
+        for a, f in zip(arrays, fills)
+    )
+
+
+def _shift_window(padded, d, E: int):
+    """Rows d..d+E of each padded array (the partner rows at offset d)."""
+    return tuple(
+        jax.lax.dynamic_slice_in_dim(a, d, E) for a in padded
+    )
 
 
 def _pair_bin_int(
@@ -211,7 +248,7 @@ def count_join_stats(
     vary_axes: tuple = (),
     psum_axis: str = "",
     hi_bits: int = 32,
-    pallas_pairs: bool = False,
+    pallas_pairs=None,
 ) -> JoinStats:
     """Compute all distance sufficient statistics for one k-mer shard.
 
@@ -364,7 +401,7 @@ def join_stats_from_spectra(
     vary_axes: tuple = (),
     psum_axis: str = "",
     hi_bits: int = 32,
-    pallas_pairs: bool = False,
+    pallas_pairs=None,
 ) -> JoinStats:
     """Statistics from pre-counted per-sample spectra.
 
@@ -464,7 +501,7 @@ def _stats_from_rows(
     psum_axis: str,
     rows_compacted: bool = False,
     solid_override=None,
-    pallas_pairs: bool = False,
+    pallas_pairs=None,
 ) -> JoinStats:
     """Shared pass 2+3 over (kmer, sample, count) rows with validity.
 
@@ -543,6 +580,14 @@ def _stats_from_rows(
     n_shared = jnp.sum(newk & (seg_len >= 2)).astype(jnp.int64)
 
     max_cnt = jnp.max(jnp.where(kept2, cnt2, 0)).astype(jnp.int64)
+    if pallas_pairs is None:
+        # auto: the Pallas kernel's HBM traffic is O(E) vs the shift
+        # loop's O(E * d_max); at N <= 16 the one-pass triangle
+        # pair-bin einsum wins, beyond it the kernel does
+        pallas_pairs = (
+            N >= PALLAS_AUTO_MIN_BANKS
+            and jax.default_backend() == "tpu"
+        )
     if (
         pallas_pairs
         and not simple
@@ -553,10 +598,11 @@ def _stats_from_rows(
     ):
         # fused Pallas pair kernel (ops/pairstats.py): one pass over
         # the compacted rows, one-hots live only in VMEM. Equivalent
-        # to the einsum path by tests/test_pairstats.py; opt-in via
-        # SIMKA_TPU_PALLAS_PAIRS=1 (measured slower at N=8 on v5e --
-        # the shift einsums win there -- but its HBM traffic is O(E)
-        # instead of O(E*N), the regime of very wide sample sets).
+        # to the einsum path by tests/test_pairstats.py; auto-selected
+        # for wide N, forced either way via SIMKA_TPU_PALLAS_PAIRS
+        # (measured slower at N=8 on v5e -- the shift einsums win
+        # there -- but its HBM traffic is O(E) instead of O(E*N), the
+        # regime of very wide sample sets).
         from simka_tpu.ops.pairstats import pair_stats_default
 
         res = pair_stats_default(
@@ -587,12 +633,16 @@ def _stats_from_rows(
         )
 
     # ---- pass 3: shift-pair accumulation ----
-    # Default channels at N*N <= 128 take the PAIR-BIN path: one
-    # einsum per shift whose rhs is a one-hot over the JOINT pair bin
-    # sid_a * N + sid_b and whose lhs lanes carry every stat channel
-    # and every count limb at once -- 4 MXU passes per shift collapse
-    # to 1, using the lanes an [B, N] one-hot would leave idle.
-    use_packed = (not simple) and (not complex_) and N * N <= 128
+    # Default channels at N(N-1)/2 <= 128 take the PAIR-BIN path: one
+    # einsum per shift whose rhs is a one-hot over the UPPER-TRIANGLE
+    # pair bin (rows within a k-mer are sample-ascending, so every
+    # pair satisfies a < b -- the reference's own flattened symmetric
+    # index, SimkaAlgorithm.hpp:364) and whose lhs lanes carry every
+    # stat channel and every count limb at once -- 4 MXU passes per
+    # shift collapse to 1, using the lanes an [B, N] one-hot would
+    # leave idle. Triangle packing stretches the one-pass regime from
+    # N <= 11 (N*N bins) to N <= 16.
+    use_packed = (not simple) and (not complex_) and N * (N - 1) // 2 <= 128
 
     # global totals feeding the Whittaker/KL pair terms; a sweep over
     # hash ranges must inject the whole-space totals here
@@ -636,12 +686,8 @@ def _stats_from_rows(
         )
 
     # pad so a dynamic_slice at offset d (< N) never reads OOB
-    padlen = N + 1
-    seg_p = jnp.concatenate([seg_e, jnp.full((padlen,), E, jnp.int32)])
-    sid_p = jnp.concatenate([sid2, jnp.zeros((padlen,), sid2.dtype)])
-    cnt_p = jnp.concatenate([cnt2, jnp.zeros((padlen,), cnt2.dtype)])
-    kept_p = jnp.concatenate(
-        [kept2, jnp.zeros((padlen,), jnp.bool_)]
+    seg_p, sid_p, cnt_p, kept_p = _shift_padded(
+        (seg_e, sid2, cnt2, kept2), (E, 0, 0, False), N + 1
     )
 
     # panel padding MUST fill with N (the masked bank), not 0: the
@@ -654,10 +700,9 @@ def _stats_from_rows(
     bank_range = jnp.arange(N, dtype=jnp.int32)[None, None, :]
 
     def shift_body(d, acc):
-        seg_b = jax.lax.dynamic_slice_in_dim(seg_p, d, E)
-        sid_b = jax.lax.dynamic_slice_in_dim(sid_p, d, E)
-        cnt_b = jax.lax.dynamic_slice_in_dim(cnt_p, d, E)
-        kept_b = jax.lax.dynamic_slice_in_dim(kept_p, d, E)
+        seg_b, sid_b, cnt_b, kept_b = _shift_window(
+            (seg_p, sid_p, cnt_p, kept_p), d, E
+        )
         m = kept2 & kept_b & (seg_e == seg_b)
 
         va = jnp.where(m, cnt2, 0).astype(jnp.int64)
@@ -825,25 +870,30 @@ def _pairbin_pass(
 
     Replaces the reference's per-pair scalar accumulator loops
     (SimkaAlgorithm.hpp:356-378) for the default distance channels at
-    N*N <= 128. The per-shift einsum path issues 4 one-hot MXU passes
-    per offset d, each [B, N]x[B, N] -- at N << 128 the systolic array
-    pads both lane dims to 128, wasting >90% of every pass. Here ONE
-    pass per shift carries everything:
+    N(N-1)/2 <= 128. The per-shift einsum path issues 4 one-hot MXU
+    passes per offset d, each [B, N]x[B, N] -- at N << 128 the systolic
+    array pads both lane dims to 128, wasting >90% of every pass. Here
+    ONE pass per shift carries everything:
 
-      rhs [B, N*N]:      one-hot of bin = sid_a * N + sid_b (pair mask
-        folded in: unpaired rows get the out-of-range sentinel bin)
+      rhs [B, tri]:      one-hot of the UPPER-TRIANGLE pair bin
+        tri_idx(a, b) = a*(2N-a-1)/2 + (b-a-1) -- rows within a k-mer
+        are sample-ascending so a < b always holds (the reference's
+        own flattened symmetric index, SimkaAlgorithm.hpp:364); the
+        pair mask is folded in: unpaired rows get the out-of-range
+        sentinel bin
       lhs [B, 1 + 3*L]:  channels [pair(0/1)] + one 8-bit limb triple
         [C_a, C_b, min(Ca, Cb)] per active limb
 
-    The [C, N*N] output holds co-presence, sum C_a, sum C_b and
-    sum min(Ca, Cb) for every ordered pair (a, b) -- every channel x
-    bin product is consumed; there are no discarded blocks. Extra
-    count limbs ride as extra lhs lanes in the SAME MXU pass; the
-    number of active limbs L is picked ONCE at runtime from max_cnt
-    via lax.switch over per-level loops (a lax.cond per limb per
-    shift measurably drags the loop; typical low-coverage metagenomes
-    run the 1-limb level). Measured on v5e at E=2^24, N=8: 41 ms vs
-    52 ms for the 4-pass per-shift path
+    The [C, tri] output holds co-presence, sum C_a, sum C_b and
+    sum min(Ca, Cb) for every pair a < b -- every channel x bin
+    product is consumed; there are no discarded blocks, and triangle
+    packing fits N <= 16 in one 128-lane pass (the square N*N layout
+    capped out at N = 11). Extra count limbs ride as extra lhs lanes
+    in the SAME MXU pass; the number of active limbs L is picked ONCE
+    at runtime from max_cnt via lax.switch over per-level loops (a
+    lax.cond per limb per shift measurably drags the loop; typical
+    low-coverage metagenomes run the 1-limb level). Measured on v5e
+    at E=2^24, N=8: 41 ms vs 52 ms for the 4-pass per-shift path
     (scripts/profiling/bench_pairstage.py; the bf16-operand variant
     of the same scheme measured slower, 47 ms).
 
@@ -857,22 +907,42 @@ def _pairbin_pass(
     """
     N = n_banks
     E = seg_e.shape[0]
-    NB = N * N
+    NB = max(N * (N - 1) // 2, 1)  # upper-triangle pair bins
     n_limbs = max(1, -(-count_bits // 8))
-    padlen = N + 1
-    seg_p = jnp.concatenate([seg_e, jnp.full((padlen,), E, jnp.int32)])
-    sid_p = jnp.concatenate([sid_m, jnp.full((padlen,), N, sid_m.dtype)])
-    cnt_p = jnp.concatenate([cnt_m, jnp.zeros((padlen,), cnt_m.dtype)])
+    seg_p, sid_p, cnt_p = _shift_padded(
+        (seg_e, sid_m, cnt_m), (E, N, 0), N + 1
+    )
     bin_iota = jnp.arange(NB, dtype=jnp.int32)
+    # static [tri] -> (a, b) unpacking map for the scatter back to the
+    # [N, N] upper triangle
+    tri_a, tri_b = [], []
+    for a in range(N):
+        for b in range(a + 1, N):
+            tri_a.append(a)
+            tri_b.append(b)
+    tri_a = tuple(tri_a) or (0,)
+    tri_b = tuple(tri_b) or (0,)
+
+    def to_square(flat):
+        """[..., tri] pair sums -> [..., N, N] upper-triangle array."""
+        sq = jnp.zeros(flat.shape[:-1] + (N, N), flat.dtype)
+        return sq.at[..., jnp.array(tri_a), jnp.array(tri_b)].set(
+            flat[..., : len(tri_a)] if N >= 2 else flat * 0
+        )
 
     def make_loop(active_limbs):
         def run():
             def shift_body(d, acc):
-                seg_b = jax.lax.dynamic_slice_in_dim(seg_p, d, E)
-                sid_b = jax.lax.dynamic_slice_in_dim(sid_p, d, E)
-                cnt_b = jax.lax.dynamic_slice_in_dim(cnt_p, d, E)
+                seg_b, sid_b, cnt_b = _shift_window(
+                    (seg_p, sid_p, cnt_p), d, E
+                )
                 m = kept2 & (seg_e == seg_b)
-                pairbin = jnp.where(m, sid_m * N + sid_b, NB)
+                # a < b within a segment -> triangle index
+                tri = (
+                    sid_m * (2 * N - sid_m - 1) // 2
+                    + (sid_b - sid_m - 1)
+                )
+                pairbin = jnp.where(m, tri, NB)
                 oh = (
                     _panels(pairbin, fill=NB)[..., None] == bin_iota
                 ).astype(jnp.float32)
@@ -895,7 +965,6 @@ def _pairbin_pass(
                     oh,
                     preferred_element_type=jnp.float32,
                 ).astype(jnp.int64).sum(axis=0)
-                out = out.reshape(-1, N, N)
                 ab = ba = bray = None
                 for limb in range(active_limbs):
                     sh = 8 * limb
@@ -913,17 +982,18 @@ def _pairbin_pass(
                 }
 
             acc0 = {
-                "shared_distinct": jnp.zeros((N, N), jnp.int64),
-                "shared_kmers_ab": jnp.zeros((N, N), jnp.int64),
-                "shared_kmers_ba": jnp.zeros((N, N), jnp.int64),
-                "bray": jnp.zeros((N, N), jnp.int64),
+                "shared_distinct": jnp.zeros((NB,), jnp.int64),
+                "shared_kmers_ab": jnp.zeros((NB,), jnp.int64),
+                "shared_kmers_ba": jnp.zeros((NB,), jnp.int64),
+                "bray": jnp.zeros((NB,), jnp.int64),
             }
             if vary_axes:
                 acc0 = jax.tree.map(
                     lambda x: jax.lax.pcast(x, vary_axes, to="varying"),
                     acc0,
                 )
-            return jax.lax.fori_loop(1, d_max, shift_body, acc0)
+            acc = jax.lax.fori_loop(1, d_max, shift_body, acc0)
+            return jax.tree.map(to_square, acc)
 
         return run
 

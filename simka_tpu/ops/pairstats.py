@@ -194,60 +194,26 @@ def _kernel(
         out_ref[...] = acc_ref[...]
 
 
-@functools.partial(
-    jax.jit, static_argnames=("n_banks", "count_bits", "panel", "interpret")
-)
-def pair_stats_default(
-    seg,
-    sid,
-    cnt,
-    *,
-    n_banks: int,
-    count_bits: int = 32,
-    panel: int = 2048,
-    interpret: bool = False,
+# Exactness bound of one pallas call: the lo-half i32 accumulator
+# gains at most 0xFFFF per panel per cell, so it stays below 2^31
+# only while n_panels < 2^15. pair_stats_default auto-splits longer
+# streams into chunks with a real-row halo (pairs only ever span
+# N - 1 < panel rows, so the halo panel covers every cross-chunk
+# pair exactly once).
+MAX_PANELS = (1 << 15) - 1
+
+
+def _chunk_call(
+    seg, sid, cnt, *, n_panels, panel, n_banks, n_limbs, n_groups,
+    per_group, interpret
 ):
-    """All default-channel pair statistics in one pass over the rows.
-
-    Args:
-      seg: [E] int32 segment id per row, -1 for dropped/padding rows.
-        Rows must be segment-grouped and sample-ascending within a
-        segment (the compacted pass-2 layout of countjoin.py).
-      sid: [E] int32 sample ids (0 <= sid < n_banks on kept rows).
-      cnt: [E] int32 per-(kmer, sample) counts, < 2**count_bits.
-
-    Returns dict with int64 arrays: shared_kmers_ab, shared_kmers_ba,
-    shared_distinct, bray (all [N, N], upper-triangle pair sums), and
-    distinct_per_bank, solid_per_bank ([N]).
-    """
-    N = n_banks
-    if N < 2 or N > LANES - 1:
-        raise ValueError("pair_stats_default supports 2 <= n_banks <= 127")
-    n_limbs = _num_limbs(count_bits)
-    n_ch, per_group, n_groups, place = _channel_layout(N, n_limbs)
-
-    E = seg.shape[0]
-    n_panels = max(1, -(-E // panel))
-    # Exactness bound: the lo-half i32 accumulator gains at most
-    # 0xFFFF per panel per cell, so it stays below 2^31 only while
-    # n_panels < 2^15. Callers must split larger streams into
-    # multiple calls (E <= panel * 32767, i.e. ~67M rows at the
-    # default panel) -- silently wrong results otherwise.
-    if n_panels >= 1 << 15:
-        raise ValueError(
-            f"pair_stats_default: {n_panels} panels would overflow the "
-            "i32 lo-half accumulator (max 32767); raise `panel` or "
-            "split the row stream"
-        )
-    padded = (n_panels + 1) * panel  # extra panel = halo for the last
-    seg = jnp.pad(seg, (0, padded - E), constant_values=-1)
-    sid = jnp.pad(sid, (0, padded - E))
-    cnt = jnp.pad(cnt, (0, padded - E))
-
+    """One pallas sweep: blocks [0, n_panels) are the a-rows, block
+    n_panels is the partner halo (real continuation rows mid-stream,
+    -1 padding at the end). Returns the combined i64 accumulator."""
     out = pl.pallas_call(
         functools.partial(
             _kernel,
-            n_banks=N,
+            n_banks=n_banks,
             n_limbs=n_limbs,
             n_groups=n_groups,
             per_group=per_group,
@@ -278,8 +244,78 @@ def pair_stats_default(
         ),
         interpret=interpret,
     )(seg, sid, cnt, seg, sid, cnt)
+    return (out[0].astype(jnp.int64) << 16) + out[1].astype(jnp.int64)
 
-    full = (out[0].astype(jnp.int64) << 16) + out[1].astype(jnp.int64)
+
+@functools.partial(
+    jax.jit, static_argnames=("n_banks", "count_bits", "panel", "interpret")
+)
+def pair_stats_default(
+    seg,
+    sid,
+    cnt,
+    *,
+    n_banks: int,
+    count_bits: int = 32,
+    panel: int = 2048,
+    interpret: bool = False,
+):
+    """All default-channel pair statistics in one pass over the rows.
+
+    Args:
+      seg: [E] int32 segment id per row, -1 for dropped/padding rows.
+        Rows must be segment-grouped and sample-ascending within a
+        segment (the compacted pass-2 layout of countjoin.py).
+      sid: [E] int32 sample ids (0 <= sid < n_banks on kept rows).
+      cnt: [E] int32 per-(kmer, sample) counts, < 2**count_bits.
+
+    Streams longer than panel * 32767 rows (~67M at the default
+    panel) are transparently split into bound-respecting chunks whose
+    halo panel carries the real continuation rows, so cross-chunk
+    pairs (always within N - 1 < panel rows) are counted exactly once
+    (tests/test_pairstats.py::test_auto_split_matches_single_call).
+
+    Returns dict with int64 arrays: shared_kmers_ab, shared_kmers_ba,
+    shared_distinct, bray (all [N, N], upper-triangle pair sums), and
+    distinct_per_bank, solid_per_bank ([N]).
+    """
+    N = n_banks
+    if N < 2 or N > LANES - 1:
+        raise ValueError("pair_stats_default supports 2 <= n_banks <= 127")
+    n_limbs = _num_limbs(count_bits)
+    n_ch, per_group, n_groups, place = _channel_layout(N, n_limbs)
+
+    E = seg.shape[0]
+    chunk_rows = MAX_PANELS * panel
+    full = None
+    for s in range(0, max(E, 1), chunk_rows):
+        e = min(s + chunk_rows, E)
+        n_panels = max(1, -(-(e - s) // panel))
+        halo_e = min(e + panel, E)
+
+        def prep(x, fill):
+            # a-range padding only happens on the final chunk (mid
+            # chunks are exact panel multiples), where the halo region
+            # is empty -- so end-padding keeps blocks aligned
+            return jnp.pad(
+                x[s:halo_e],
+                (0, (n_panels + 1) * panel - (halo_e - s)),
+                constant_values=fill,
+            )
+
+        part = _chunk_call(
+            prep(seg, -1),
+            prep(sid, 0),
+            prep(cnt, 0),
+            n_panels=n_panels,
+            panel=panel,
+            n_banks=N,
+            n_limbs=n_limbs,
+            n_groups=n_groups,
+            per_group=per_group,
+            interpret=interpret,
+        )
+        full = part if full is None else full + part
 
     def channel(c):
         g, row = place[c]

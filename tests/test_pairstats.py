@@ -92,16 +92,60 @@ def test_pairstats_kernel_matches_oracle(E, N, maxcnt, panel):
         assert np.array_equal(np.asarray(got[k]), want[k]), k
 
 
-def test_pairstats_overflow_guard():
-    with pytest.raises(ValueError, match="overflow"):
-        pair_stats_default(
-            jnp.zeros(64 * (1 << 15) + 1, jnp.int32),
-            jnp.zeros(64 * (1 << 15) + 1, jnp.int32),
-            jnp.zeros(64 * (1 << 15) + 1, jnp.int32),
-            n_banks=4,
-            panel=64,
-            interpret=True,
-        )
+def test_auto_split_matches_single_call(monkeypatch):
+    """Streams above the per-call panel bound are split into chunks
+    with a real-row halo; cross-chunk pairs must be counted exactly
+    once (the round-2 kernel raised here instead)."""
+    from simka_tpu.ops import pairstats
+
+    rng = np.random.default_rng(42)
+    E, N = 3000, 12
+    seg, sid, cnt = gen(rng, E, N, 1000)
+    want = oracle(seg, sid, cnt, N)
+    monkeypatch.setattr(pairstats, "MAX_PANELS", 4)
+    got = pair_stats_default(
+        jnp.asarray(seg),
+        jnp.asarray(sid),
+        jnp.asarray(cnt),
+        n_banks=N,
+        panel=32,
+        interpret=True,
+    )
+    for k in want:
+        assert np.array_equal(np.asarray(got[k]), want[k]), k
+
+
+@pytest.mark.parametrize("N", [12, 16])
+def test_tri_packed_path_matches_fourpass(N):
+    """N in 12..16 now rides the one-pass triangle pair-bin einsum;
+    its default channels must be bit-identical to the general 4-pass
+    path (forced via simple=True, which computes the same default
+    channels plus the simple ones)."""
+    rng = np.random.default_rng(N)
+    E = 8192
+    hi = jnp.asarray(rng.integers(0, 1 << 10, size=E, dtype=np.uint32))
+    lo = jnp.asarray(rng.integers(0, 1 << 9, size=E, dtype=np.uint32))
+    sid = jnp.asarray(rng.integers(0, N, size=E).astype(np.int32))
+    kw = dict(n_banks=N, count_bits=16, hi_bits=10)
+    packed = count_join_stats(
+        hi, lo, sid, jnp.int32(1), jnp.int64(10**9), **kw
+    )
+    fourpass = count_join_stats(
+        hi, lo, sid, jnp.int32(1), jnp.int64(10**9), simple=True, **kw
+    )
+    for name in (
+        "nb_distinct",
+        "nb_shared",
+        "distinct_per_bank",
+        "solid_per_bank",
+        "shared_kmers_ab",
+        "shared_kmers_ba",
+        "shared_distinct",
+        "bray_numerator",
+    ):
+        ga = np.asarray(getattr(packed, name))
+        gb = np.asarray(getattr(fourpass, name))
+        assert np.array_equal(ga, gb), (name, ga, gb)
 
 
 def test_countjoin_pallas_path_equivalence():
