@@ -19,9 +19,14 @@ from simka_tpu.config import SimkaConfig
 from simka_tpu.core.distances import compute_all_matrices
 from simka_tpu.core.output import write_all_matrices
 from simka_tpu.core.stats import SimkaStatistics
-from simka_tpu.io.bank import encode_batch, read_dataset
+from simka_tpu.io.bank import (
+    count_dataset_reads,
+    encode_batch,
+    iter_dataset_reads,
+    read_dataset,
+)
 from simka_tpu.io.dsl import Dataset, check_input_validity, parse_input_file
-from simka_tpu.ops.countjoin import count_join_stats
+from simka_tpu.ops.countjoin import count_join_stats, pallas_pairs_env
 from simka_tpu.ops.kmers import (
     extract_canonical_kmers,
     extract_canonical_kmers_multi,
@@ -46,13 +51,30 @@ def resolve_max_reads(read_counts: Sequence[int], max_reads: int) -> int:
     return max_reads
 
 
+def _iter_read_chunks(seqs, batch_reads: int):
+    """Yield lists of <= batch_reads reads from a list, an iterator,
+    or a zero-arg provider callable returning an iterator."""
+    from itertools import islice
+
+    it = iter(seqs() if callable(seqs) else seqs)
+    while True:
+        chunk = list(islice(it, batch_reads))
+        if not chunk:
+            return
+        yield chunk
+
+
 def extract_dataset_kmers(
-    seqs: List[bytes],
+    seqs,
     k: int,
     batch_reads: int = 1 << 15,
     min_kmer_shannon_index: float = 0.0,
 ) -> Tuple[Tuple[np.ndarray, ...], int]:
     """Encode + extract canonical k-mers for one sample.
+
+    ``seqs``: a list of read byte strings, an iterator of them, or a
+    zero-arg provider callable (the streaming ingest path -- host RSS
+    stays O(batch)).
 
     Returns (words, n_reads): a tuple of big-endian uint32 word arrays
     covering ALL window positions (invalid ones hold SENTINEL in every
@@ -61,8 +83,9 @@ def extract_dataset_kmers(
     are padded to stable shape classes to bound recompilation.
     """
     parts: List[List[np.ndarray]] = []
-    for start in range(0, len(seqs), batch_reads):
-        chunk = seqs[start : start + batch_reads]
+    n_reads = 0
+    for chunk in _iter_read_chunks(seqs, batch_reads):
+        n_reads += len(chunk)
         max_len = max((len(s) for s in chunk), default=k)
         width = _round_up(max(max_len, k), 32)
         codes, _ = encode_batch(chunk, max_len=width)
@@ -107,15 +130,19 @@ def extract_dataset_kmers(
     if not parts:
         nw = 2 if k <= 31 else len(parts)
         return tuple(np.empty(0, np.uint32) for _ in range(max(nw, 2))), 0
-    return tuple(np.concatenate(p) for p in parts), len(seqs)
+    return tuple(np.concatenate(p) for p in parts), n_reads
 
 
 def compute_statistics(
-    dataset_seqs: List[List[bytes]],
+    dataset_seqs,
     dataset_ids: List[str],
     config: SimkaConfig,
 ) -> SimkaStatistics:
-    """Full statistics from in-memory per-dataset read lists.
+    """Full statistics from per-dataset reads (lists or streams).
+
+    ``dataset_seqs[s]``: a list of read byte strings OR a zero-arg
+    provider callable returning an iterator (the streaming ingest
+    path; host RSS stays O(batch) per dataset).
 
     Runs single-device (fully device-resident), or -- when the config
     requests shards / more than one local device exists -- sharded
@@ -176,16 +203,15 @@ def compute_statistics(
     )
 
 
-def _prepare_packed_batch(seqs, start, batch_reads, k):
+def _prepare_packed_batch(chunk, k):
     """Host side of one extraction batch: encode + 2-bit pack + H2D.
 
     Runs on a prefetch worker thread (see _compute_statistics_device)
-    so the encode and the slow tunnel transfer overlap the device's
-    extraction of the previous batch.
+    so the read pull, the encode and the slow tunnel transfer overlap
+    the device's extraction of the previous batch.
     """
     import jax
 
-    chunk = seqs[start : start + batch_reads]
     max_len = max((len(s) for s in chunk), default=k)
     width = _round_up(max(max_len, k), 32)
     codes, _ = encode_batch(chunk, max_len=width)
@@ -201,18 +227,21 @@ def _prepare_packed_batch(seqs, start, batch_reads, k):
 
 
 def _compute_statistics_device(
-    dataset_seqs: List[List[bytes]],
+    dataset_seqs,
     dataset_ids: List[str],
     config: SimkaConfig,
     batch_reads: int = 1 << 17,
 ) -> SimkaStatistics:
     """Single-device path: every k-mer word stays on the device from
-    extraction through the fused join (no host round-trip).
+    extraction through the fused join (no host round-trip), and reads
+    STREAM through in O(batch) host memory (gatb IBank's role,
+    /root/reference/src/core/SimkaCommons.hpp:159-314 -- datasets may
+    be larger than host RAM).
 
-    Ingest is DOUBLE-BUFFERED: a worker thread encodes/packs/ships
-    batch i+1 while the device extracts batch i (the reference keeps
-    its gatb Bank reader ahead of the counters with a dispatcher
-    thread pool, src/SimkaCount.cpp:188; here the split is
+    Ingest is DOUBLE-BUFFERED: a worker thread pulls, encodes, packs
+    and ships batch i+1 while the device extracts batch i (the
+    reference keeps its gatb Bank reader ahead of the counters with a
+    dispatcher thread pool, src/SimkaCount.cpp:188; here the split is
     host-prep-vs-device-compute instead of reader-vs-counter).
     """
     from concurrent.futures import ThreadPoolExecutor
@@ -221,12 +250,13 @@ def _compute_statistics_device(
 
     k = config.kmer_size
     batches = []  # (words tuple, sample id)
-    nb_reads = [len(seqs) for seqs in dataset_seqs]
-    tasks = [
-        (s, start)
-        for s, seqs in enumerate(dataset_seqs)
-        for start in range(0, len(seqs), batch_reads)
-    ]
+    nb_reads = [0] * len(dataset_seqs)
+
+    def chunk_stream():
+        for s, seqs in enumerate(dataset_seqs):
+            for chunk in _iter_read_chunks(seqs, batch_reads):
+                nb_reads[s] += len(chunk)
+                yield s, chunk
 
     def device_extract(s, packed, validbits):
         words = extract_packed(packed, validbits, k, multi=k > 31)
@@ -251,23 +281,25 @@ def _compute_statistics_device(
             )
         batches.append((tuple(w.ravel() for w in words), s))
 
+    chunks = chunk_stream()
+
+    def pull_and_prep():
+        # single worker thread: the generator (and the underlying
+        # file handles) are only ever touched here
+        item = next(chunks, None)
+        if item is None:
+            return None
+        s, chunk = item
+        return s, _prepare_packed_batch(chunk, k)
+
     with ThreadPoolExecutor(max_workers=1) as ex:
-        pending = None
-        for i, (s, start) in enumerate(tasks):
-            if pending is None:
-                pending = ex.submit(
-                    _prepare_packed_batch,
-                    dataset_seqs[s], start, batch_reads, k,
-                )
-            packed, validbits = pending.result()
-            if i + 1 < len(tasks):
-                s2, start2 = tasks[i + 1]
-                pending = ex.submit(
-                    _prepare_packed_batch,
-                    dataset_seqs[s2], start2, batch_reads, k,
-                )
-            else:
-                pending = None
+        pending = ex.submit(pull_and_prep)
+        while True:
+            res = pending.result()
+            if res is None:
+                break
+            pending = ex.submit(pull_and_prep)
+            s, (packed, validbits) = res
             device_extract(s, packed, validbits)
 
     if not batches:
@@ -313,7 +345,7 @@ def _compute_statistics_device(
         # k <= 31 kmers have exactly max(0, 2k-32) payload bits in hi:
         # enables the packed single-u64-key sort fast path
         hi_bits=max(0, 2 * k - 32) if k <= 31 else 32,
-        pallas_pairs=os.environ.get("SIMKA_TPU_PALLAS_PAIRS") == "1",
+        pallas_pairs=pallas_pairs_env(),
     )
     return SimkaStatistics.from_join_stats(
         js,
@@ -406,8 +438,7 @@ def compute_statistics_from_spectra(
                 if config.kmer_size <= 31
                 else 32
             ),
-            pallas_pairs=os.environ.get("SIMKA_TPU_PALLAS_PAIRS")
-            == "1",
+            pallas_pairs=pallas_pairs_env(),
         )
     return SimkaStatistics.from_join_stats(
         js,
@@ -420,38 +451,42 @@ def compute_statistics_from_spectra(
 
 
 def count_dataset_spectrum(
-    seqs: List[bytes],
+    seqs,
     k: int,
     stream_batch_reads: int = 1 << 20,
     min_kmer_shannon_index: float = 0.0,
 ):
     """Count phase for one sample: extract + device sort/run-length.
 
-    Samples larger than ``stream_batch_reads`` are counted in
-    super-batches whose spectra are folded together on device
-    (ops.spectrum.merge_spectra), bounding peak memory by the batch
-    size instead of the sample size -- the role the reference's
+    ``seqs``: list, iterator, or zero-arg provider of read byte
+    strings. Samples larger than ``stream_batch_reads`` are counted
+    in super-batches whose spectra are folded together on device
+    (ops.spectrum.merge_spectra), bounding peak host memory by the
+    batch size instead of the sample size -- the role the reference's
     ConfigurationAlgorithm memory planning plays for DSK
     (SimkaPotara.hpp:617-657).
     """
     from simka_tpu.ops.spectrum import count_spectrum, merge_spectra
 
-    if len(seqs) <= stream_batch_reads:
-        words, n = extract_dataset_kmers(
-            seqs, k, min_kmer_shannon_index=min_kmer_shannon_index
-        )
-        uw, counts = count_spectrum(*words)
-        return uw, counts, n
-
     partials = []
-    for start in range(0, len(seqs), stream_batch_reads):
+    n_reads = 0
+    for chunk in _iter_read_chunks(seqs, stream_batch_reads):
+        n_reads += len(chunk)
         words, _ = extract_dataset_kmers(
-            seqs[start : start + stream_batch_reads], k,
-            min_kmer_shannon_index=min_kmer_shannon_index,
+            chunk, k, min_kmer_shannon_index=min_kmer_shannon_index
         )
         partials.append(count_spectrum(*words))
-    uw, counts = merge_spectra(partials)
-    return uw, counts, len(seqs)
+    if not partials:
+        words, _ = extract_dataset_kmers(
+            [], k, min_kmer_shannon_index=min_kmer_shannon_index
+        )
+        uw, counts = count_spectrum(*words)
+        return uw, counts, 0
+    if len(partials) == 1:
+        uw, counts = partials[0]
+    else:
+        uw, counts = merge_spectra(partials)
+    return uw, counts, n_reads
 
 
 def repartition_histogram(
@@ -513,14 +548,15 @@ def count_one_dataset(d, config: SimkaConfig, cap: int, ckpt=None,
     last_err = None
     for attempt in range(4):
         try:
-            seqs = read_dataset(
-                d.banks,
-                config.min_read_size,
-                config.min_read_shannon_index,
-                max_reads=cap,
-            )
+            # stream reads through the counter (a fresh iterator per
+            # attempt); the dataset never materializes on the host
             words, counts, n = count_dataset_spectrum(
-                seqs,
+                lambda: iter_dataset_reads(
+                    d.banks,
+                    config.min_read_size,
+                    config.min_read_shannon_index,
+                    max_reads=cap,
+                ),
                 config.kmer_size,
                 min_kmer_shannon_index=config.min_kmer_shannon_index,
             )
@@ -559,14 +595,14 @@ def run_simka(config: SimkaConfig) -> Dict[str, np.ndarray]:
     if config.max_reads == 0:
         # auto mode: per-GROUP read counts (the reference divides each
         # dataset's read estimate by its ';'-group count,
-        # SimkaPotara.hpp:646)
+        # SimkaPotara.hpp:646). Counting streams at native parse
+        # speed with no Python object per read (the reference uses
+        # O(1) bank estimates, SimkaAlgorithm.cpp:428-433).
         raw_counts = [
-            len(
-                read_dataset(
-                    d.banks,
-                    config.min_read_size,
-                    config.min_read_shannon_index,
-                )
+            count_dataset_reads(
+                d.banks,
+                config.min_read_size,
+                config.min_read_shannon_index,
             )
             // max(len(d.banks), 1)
             for d in datasets
@@ -705,21 +741,24 @@ def run_simka(config: SimkaConfig) -> Dict[str, np.ndarray]:
                 )
         log(f"merge+distances: {metrics.timings['merge']:.2f}s")
     else:
-        with metrics.stage("read"):
-            dataset_seqs = [
-                read_dataset(
+        # stream every dataset through the counters: no List[bytes]
+        # materialization (gatb IBank streaming, SimkaCommons.hpp:159)
+        providers = [
+            (
+                lambda d=d: iter_dataset_reads(
                     d.banks,
                     config.min_read_size,
                     config.min_read_shannon_index,
                     max_reads=cap,
                 )
-                for d in datasets
-            ]
-        total = sum(len(s) for s in dataset_seqs)
+            )
+            for d in datasets
+        ]
+        with metrics.stage("count"):
+            stats = compute_statistics(providers, ids, config)
+        total = int(np.sum(stats.dataset_nb_reads))
         metrics.count("reads", total)
         log(f"{len(ids)} datasets, {total} reads")
-        with metrics.stage("count"):
-            stats = compute_statistics(dataset_seqs, ids, config)
 
     with metrics.stage("output"):
         matrices = compute_all_matrices(stats)
@@ -754,12 +793,10 @@ def run_data_info(config: SimkaConfig) -> List[Tuple[str, int]]:
     check_input_validity(datasets)
     out = []
     for d in datasets:
-        n = len(
-            read_dataset(
-                d.banks,
-                config.min_read_size,
-                config.min_read_shannon_index,
-            )
+        n = count_dataset_reads(
+            d.banks,
+            config.min_read_size,
+            config.min_read_shannon_index,
         )
         out.append((d.id, n))
         if config.verbose:

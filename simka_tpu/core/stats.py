@@ -130,7 +130,12 @@ class SimkaStatistics:
                     "regime of the reference's single-presence "
                     "accumulator; exact-mode whittaker values may "
                     "diverge from reference output (PARITY.md "
-                    "divergence 3)",
+                    "divergence 3). This check is deliberately "
+                    "conservative (it bounds c * K_j by the global "
+                    "max count times the global max solid total, "
+                    "which includes the count's own bank) -- it never "
+                    "misses a reachable wrap but can fire when none "
+                    "is reachable on skewed datasets.",
                     RuntimeWarning,
                     stacklevel=2,
                 )

@@ -154,13 +154,19 @@ def iter_filtered_reads(
             yield seq
 
 
-def read_dataset(
+def iter_dataset_reads(
     banks: Iterable,
     min_read_size: int = 0,
     min_read_shannon_index: float = 0.0,
     max_reads: int = 0,
-) -> List[bytes]:
-    """All reads of one dataset, group by group, filtered and capped.
+) -> Iterator[bytes]:
+    """Stream one dataset's reads, group by group, filtered and capped.
+
+    The streaming analog of gatb's IBank pull iteration
+    (/root/reference/src/core/SimkaCommons.hpp:159-314): reads flow
+    through the consumer one at a time, so host memory stays O(1)
+    regardless of dataset size (round 2 materialized every dataset as
+    List[bytes], which caps input size at host RAM).
 
     ``banks`` is the dataset's list of ';'-paired groups, each a list
     of ','-concatenated files (io.dsl.Dataset.banks); a flat list of
@@ -176,7 +182,6 @@ def read_dataset(
     banks = list(banks)
     if banks and isinstance(banks[0], (str, bytes, os.PathLike)):
         banks = [banks]
-    out: List[bytes] = []
     for group in banks:
         # SimkaInputIterator counting quirks (SimkaCommons.hpp:226-290):
         # the first passing read of each file arrives via first() and is
@@ -191,16 +196,68 @@ def read_dataset(
             ):
                 if first_in_file:
                     first_in_file = False
-                    out.append(seq)
+                    yield seq
                     continue
                 c += 1
                 if max_reads and c >= max_reads:
                     capped = True
                     break
-                out.append(seq)
+                yield seq
             if capped:
                 break
-    return out
+
+
+def read_dataset(
+    banks: Iterable,
+    min_read_size: int = 0,
+    min_read_shannon_index: float = 0.0,
+    max_reads: int = 0,
+) -> List[bytes]:
+    """All reads of one dataset in host RAM (see iter_dataset_reads;
+    prefer the iterator on large inputs)."""
+    return list(
+        iter_dataset_reads(
+            banks, min_read_size, min_read_shannon_index, max_reads
+        )
+    )
+
+
+def count_dataset_reads(
+    banks: Iterable,
+    min_read_size: int = 0,
+    min_read_shannon_index: float = 0.0,
+) -> int:
+    """Number of filtered reads in a dataset WITHOUT materializing
+    them (native C++ counting when available).
+
+    Used by the auto -max-reads mode: the reference sizes the cap from
+    O(1) bank estimates (SimkaAlgorithm.cpp:428-433); we pay one
+    streaming pass but no Python object per read.
+    """
+    banks = list(banks)
+    if banks and isinstance(banks[0], (str, bytes, os.PathLike)):
+        banks = [banks]
+    total = 0
+    for group in banks:
+        for path in group:
+            if os.environ.get("SIMKA_TPU_NO_NATIVE") != "1":
+                try:
+                    from simka_tpu.io import native
+
+                    if native.available():
+                        total += native.count_reads(
+                            path, min_read_size, min_read_shannon_index
+                        )
+                        continue
+                except (OSError, RuntimeError):
+                    pass
+            total += sum(
+                1
+                for _ in iter_filtered_reads(
+                    path, min_read_size, min_read_shannon_index
+                )
+            )
+    return total
 
 
 def encode_batch(

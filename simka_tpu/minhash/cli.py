@@ -81,10 +81,13 @@ def min_main(argv) -> int:
         # gatb-core Bloom internals -- which are not in the reference
         # tree). We apply the EXACT total-count >= 2 semantics, so
         # -max-memory has no effect here (see minhash/sketch.py).
+        # stderr: keeps stdout machine-clean for scripts parsing the
+        # min subcommands' output
         print(
             "[simka-min] -filter: exact >=2-occurrence semantics "
             "(deterministic; reference Bloom is approximate), "
             "-max-memory not used",
+            file=sys.stderr,
             flush=True,
         )
 

@@ -13,7 +13,7 @@ from typing import List, Optional
 import numpy as np
 
 from simka_tpu.core.output import dump_matrix_csv_gz
-from simka_tpu.io.bank import read_dataset
+from simka_tpu.io.bank import iter_dataset_reads
 from simka_tpu.io.dsl import check_input_validity, parse_input_file
 from simka_tpu.minhash.distance import (
     MATRIX_NAMES,
@@ -48,19 +48,24 @@ def sketch_command(
         output_path, kmer_size, sketch_size, seed, len(datasets)
     )
     for i, ds in enumerate(datasets):
-        seqs = read_dataset(
-            ds.banks,
-            min_read_size,
-            min_read_shannon_index,
-            max_reads=max_reads,
-        )
+        # stream reads through the sketcher (no List[bytes]
+        # materialization; gatb IBank streaming, SimkaCommons.hpp:159)
         hashes, counts = compute_sketch(
-            seqs, kmer_size, sketch_size, seed, use_filter
+            lambda ds=ds: iter_dataset_reads(
+                ds.banks,
+                min_read_size,
+                min_read_shannon_index,
+                max_reads=max_reads,
+            ),
+            kmer_size,
+            sketch_size,
+            seed,
+            use_filter,
         )
         sf.write_slot(i, hashes, counts)
         if verbose:
             print(
-                f"[simka-tpu min] sketched {ds.id}: {len(seqs)} reads, "
+                f"[simka-tpu min] sketched {ds.id}: "
                 f"{len(hashes)} sketch k-mers"
             )
     sf.write_ids([d.id for d in datasets])

@@ -68,9 +68,9 @@ def run_simka_multihost(config) -> None:
     from simka_tpu.core.output import write_all_matrices
     from simka_tpu.core.pipeline import (
         count_one_dataset,
-        read_dataset,
         resolve_max_reads,
     )
+    from simka_tpu.io.bank import count_dataset_reads
     from simka_tpu.core.stats import SimkaStatistics
     from simka_tpu.io.dsl import check_input_validity, parse_input_file
     from simka_tpu.utils.metrics import Metrics
@@ -98,12 +98,10 @@ def run_simka_multihost(config) -> None:
     if config.max_reads == 0:
         local_counts = np.zeros(n, np.int64)
         for s in mine:
-            local_counts[s] = len(
-                read_dataset(
-                    datasets[s].banks,
-                    config.min_read_size,
-                    config.min_read_shannon_index,
-                )
+            local_counts[s] = count_dataset_reads(
+                datasets[s].banks,
+                config.min_read_size,
+                config.min_read_shannon_index,
             ) // max(len(datasets[s].banks), 1)
         if n_proc > 1:
             from jax.experimental import multihost_utils
