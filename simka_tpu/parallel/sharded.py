@@ -23,12 +23,13 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
+from simka_tpu.ops.compact import compact_rows
 from simka_tpu.ops.countjoin import (
     JoinStats,
     count_join_stats,
     join_stats_from_spectra,
 )
-from simka_tpu.ops.kmers import SENTINEL
+from simka_tpu.ops.kmers import SENTINEL, extract_packed, mix_hash
 
 
 def make_mesh(n_devices: int = 0, devices=None) -> Mesh:
@@ -114,12 +115,21 @@ def sharded_count_join_stats(
     n_banks: int,
     simple: bool = False,
     complex_: bool = False,
+    hi_bits: int = 32,
+    pallas_pairs=None,
+    sid_replicated: bool = False,
 ) -> JoinStats:
     """Run the fused count/join on every shard and psum-reduce.
 
     Inputs are tuples of [n_shards, E_shard] word arrays laid out along
     the mesh's 'shards' axis. Every JoinStats field is additive over
     disjoint k-mer sets, so a single psum yields global statistics.
+
+    ``sid_replicated``: the device-resident ingest (route_packed_batch)
+    produces a sample-id row that is IDENTICAL across shards (each
+    column block comes from one sample's read batch on every shard), so
+    it ships once as a replicated [E_shard] row instead of a
+    [n_shards, E_shard] matrix.
     """
     words_sh = tuple(words_sh)
     nw = len(words_sh)
@@ -129,7 +139,7 @@ def sharded_count_join_stats(
         mesh=mesh,
         in_specs=(
             tuple(P("shards") for _ in range(nw)),
-            P("shards"),
+            P() if sid_replicated else P("shards"),
             P(),
             P(),
         ),
@@ -143,7 +153,7 @@ def sharded_count_join_stats(
         return count_join_stats(
             tuple(w[0] for w in words[:-1]),
             words[-1][0],
-            sid[0],
+            sid if sid_replicated else sid[0],
             amin,
             amax,
             n_banks=n_banks,
@@ -151,6 +161,8 @@ def sharded_count_join_stats(
             complex_=complex_,
             vary_axes=("shards",),
             psum_axis="shards",
+            hi_bits=hi_bits,
+            pallas_pairs=pallas_pairs,
         )
 
     return step(
@@ -159,6 +171,130 @@ def sharded_count_join_stats(
         jnp.asarray(abundance_min, jnp.int32),
         jnp.asarray(abundance_max, jnp.int64),
     )
+
+
+@functools.lru_cache(maxsize=128)
+def _fill_program(mesh: Mesh, shape, value, dtype_name: str):
+    sharding = jax.sharding.NamedSharding(mesh, P("shards", None))
+    return jax.jit(
+        lambda: jnp.full(shape, value, jnp.dtype(dtype_name)),
+        out_shardings=sharding,
+    )
+
+
+def device_fill(mesh: Mesh, shape, value, dtype):
+    """A [n_shards, ...] constant created ON the mesh (no H2D): padding
+    the routed batches to a stable size class would otherwise ship
+    n_shards x pad columns over the slow host link."""
+    return _fill_program(mesh, tuple(shape), value, np.dtype(dtype).name)()
+
+
+def route_capacity(n_windows: int, n_shards: int) -> int:
+    """Static per-shard row capacity for one routed batch.
+
+    A uniform 32-bit mix hash splits E windows ~binomially across
+    shards; mean E/n plus 30% slack plus a 4096 absolute floor puts the
+    overflow probability far below any practical concern (Chernoff:
+    P[Bin(E, 1/n) > 1.3 E/n + 4096] < e^-245 already at E/n = 2^13).
+    Overflow is still DETECTED exactly (route_packed_batch returns the
+    true kept count) and the caller falls back to host routing, so
+    correctness never rests on this bound.
+    """
+    cap = int(n_windows / n_shards * 1.3) + 4096
+    cap = -(-cap // 1024) * 1024
+    return min(cap, max(1024, -(-n_windows // 1024) * 1024))
+
+
+@functools.lru_cache(maxsize=64)
+def _route_program(
+    mesh: Mesh,
+    k: int,
+    n_shards: int,
+    cap: int,
+    min_kmer_shannon_index: float,
+):
+    from simka_tpu.ops.kmers import n_words_for_k
+
+    nw = 2 if k <= 31 else n_words_for_k(k)
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=(
+            tuple(P("shards", None) for _ in range(nw)),
+            P("shards"),
+        ),
+    )
+    def route(packed, validbits):
+        words = extract_packed(packed, validbits, k, multi=k > 31)
+        words = tuple(w.ravel() for w in words)
+        if min_kmer_shannon_index > 0.0:
+            from simka_tpu.ops.kmers import kmer_shannon_index
+
+            keep_sh = (
+                kmer_shannon_index(words[0], words[1], k)
+                >= min_kmer_shannon_index
+            )
+            words = tuple(
+                jnp.where(keep_sh, w, SENTINEL) for w in words
+            )
+        h = words[0]
+        for w in words[1:]:
+            h = mix_hash(h, w)
+        my = jax.lax.axis_index("shards").astype(jnp.uint32)
+        keep = (words[0] != SENTINEL) & (
+            h % jnp.uint32(n_shards) == my
+        )
+        comp = compact_rows(
+            words,
+            keep,
+            fills=(0xFFFFFFFF,) * nw,
+            vary_axes=("shards",),
+        )
+        n_kept = jnp.sum(keep.astype(jnp.int32))
+        return (
+            tuple(c[:cap][None, :] for c in comp),
+            n_kept[None],
+        )
+
+    return route
+
+
+def route_packed_batch(
+    packed,
+    validbits,
+    k: int,
+    *,
+    mesh: Mesh,
+    n_shards: int,
+    cap: int,
+    min_kmer_shannon_index: float = 0.0,
+):
+    """Device-resident shard routing of one 2-bit-packed read batch.
+
+    The packed reads (0.25 B/base + 1 bit/base validity) are broadcast
+    to every device; each device extracts ALL canonical k-mers and
+    keeps only the ones whose mix-hash lands in its shard, stably
+    compacted to a static [cap] slice. Recompute-over-communicate:
+    extraction is one cheap fused VPU pass, so duplicating it across
+    shards beats a dynamically-sized all_to_all of extracted words --
+    and the extracted words never touch the host (the round-2
+    single-device property, now on the sharded path; the reference's
+    equivalent shuffle is the Repartitor-driven partition-file write,
+    src/SimkaPotara.hpp:713-723).
+
+    Returns (words_sh, n_kept): a tuple of [n_shards, cap] uint32 word
+    arrays laid out on the mesh (SENTINEL-padded), plus the exact
+    per-shard kept counts [n_shards] for overflow detection
+    (n_kept > cap means the slice dropped rows and the caller must
+    fall back to exact host routing).
+    """
+    route = _route_program(
+        mesh, k, n_shards, cap, min_kmer_shannon_index
+    )
+    return route(packed, validbits)
 
 
 def shard_rows_by_hash(words, sid, counts, n_shards: int):
