@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from simka_tpu.ops.countjoin import count_join_stats
+from simka_tpu.ops.countjoin import count_join_stats, pallas_pairs_env
 
 
 def bench_n(n_banks: int, E: int = 1 << 23, iters: int = 3) -> float:
@@ -33,7 +33,10 @@ def bench_n(n_banks: int, E: int = 1 << 23, iters: int = 3) -> float:
         rng.integers(0, n_banks, size=E).astype(np.int32)
     )
     f = functools.partial(
-        count_join_stats, n_banks=n_banks, hi_bits=10
+        count_join_stats,
+        n_banks=n_banks,
+        hi_bits=10,
+        pallas_pairs=pallas_pairs_env(),
     )
 
     @jax.jit

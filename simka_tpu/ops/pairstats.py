@@ -147,40 +147,66 @@ def _kernel(
     step_gs = tuple(
         jnp.zeros((LANES, LANES), jnp.float32) for _ in range(n_groups)
     )
+    one = jnp.float32(1.0)
 
-    for d in range(1, n_banks):
-        seg_b = seg_w[d : d + panel]
-        sid_b = sid_w[d : d + panel]
-        cnt_b = cnt_w[d : d + panel]
-        m = kept_a & (seg_a == seg_b)  # [panel, 1]
+    def do_shift(step_gs, cnt_b, right):
+        rb = right.astype(jnp.bfloat16)
+        out = []
+        for g in range(n_groups):
+            part = jax.lax.dot_general(
+                left_operand(g, cnt_b).astype(jnp.bfloat16),
+                rb,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            out.append(step_gs[g] + part)
+        return tuple(out)
+
+    # d = 1 peeled: always runs, and its right operand carries the
+    # extra validity column (lane N) for the per-bank totals
+    seg_b = seg_w[1 : 1 + panel]
+    sid_b = sid_w[1 : 1 + panel]
+    cnt_b = cnt_w[1 : 1 + panel]
+    m = kept_a & (seg_a == seg_b)  # [panel, 1]
+    right = jnp.where((sid_b == q) & m, one, jnp.float32(0.0))
+    right = jnp.where((q == jnp.int32(N)) & kept_a, one, right)
+    step_gs = do_shift(step_gs, cnt_b, right)
+
+    # d = 2..N-1 as a ROLLED loop: an unrolled Python loop puts N-1
+    # copies of the [panel, 128] operand buffers on the Mosaic stack
+    # at once, which blows the 16 MB scoped-vmem limit at N >= 32
+    # (the wide-N regime this kernel exists for); the fori_loop keeps
+    # one body's worth live
+    def shift_body(d, step_gs):
+        # Mosaic has no dynamic_slice; a dynamic ROTATE
+        # (tpu.dynamic_rotate) + static slice reads the same window.
+        # The shift is the POSITIVE 2*panel - d (== -d mod len):
+        # negating the loop index trips an i32/i64 subi mismatch in
+        # the roll lowering
+        shift = jnp.int32(2 * panel) - d
+
+        def at(w):
+            return pltpu.roll(w, shift, axis=0)[:panel]
+
+        seg_b = at(seg_w)
+        sid_b = at(sid_w)
+        cnt_b = at(cnt_w)
+        m = kept_a & (seg_a == seg_b)
         any_m = jnp.max(m.astype(jnp.float32)) > 0.0
-
-        # right operand: masked one-hot of the partner bank; the d=1
-        # matmul adds the validity column (lane N) for the per-bank
-        # totals
-        one = jnp.float32(1.0)
         right = jnp.where((sid_b == q) & m, one, jnp.float32(0.0))
-        if d == 1:
-            right = jnp.where((q == jnp.int32(N)) & kept_a, one, right)
+        return jax.lax.cond(
+            any_m,
+            lambda s: do_shift(s, cnt_b, right),
+            lambda s: s,
+            step_gs,
+        )
 
-        def do_shift(step_gs, cnt_b=cnt_b, right=right):
-            rb = right.astype(jnp.bfloat16)
-            out = []
-            for g in range(n_groups):
-                part = jax.lax.dot_general(
-                    left_operand(g, cnt_b).astype(jnp.bfloat16),
-                    rb,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                out.append(step_gs[g] + part)
-            return tuple(out)
-
-        if d == 1:
-            # always runs: carries the per-bank-total column
-            step_gs = do_shift(step_gs)
-        else:
-            step_gs = jax.lax.cond(any_m, do_shift, lambda s: s, step_gs)
+    if n_banks > 2:
+        # i32 bounds: under x64 a Python-int loop index is i64, which
+        # Mosaic cannot lower
+        step_gs = jax.lax.fori_loop(
+            jnp.int32(2), jnp.int32(n_banks), shift_body, step_gs
+        )
 
     # exact i32 hi/lo accumulation across panels (step values are
     # integers < 2^24, exact in f32)
@@ -257,7 +283,7 @@ def pair_stats_default(
     *,
     n_banks: int,
     count_bits: int = 32,
-    panel: int = 2048,
+    panel: int = 0,
     interpret: bool = False,
 ):
     """All default-channel pair statistics in one pass over the rows.
@@ -284,6 +310,13 @@ def pair_stats_default(
         raise ValueError("pair_stats_default supports 2 <= n_banks <= 127")
     n_limbs = _num_limbs(count_bits)
     n_ch, per_group, n_groups, place = _channel_layout(N, n_limbs)
+    if not panel:
+        # the [panel, 128] matmul operands (one lhs per group + the
+        # rhs, live together inside do_shift) dominate the Mosaic
+        # scoped-vmem stack; shrink the panel as the group count grows
+        # to stay under the 16 MB limit (N=32/count_bits=32 measured
+        # 20.1 MB at panel=2048)
+        panel = 2048 if n_groups <= 2 else (1024 if n_groups <= 4 else 512)
 
     E = seg.shape[0]
     chunk_rows = MAX_PANELS * panel

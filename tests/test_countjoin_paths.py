@@ -129,3 +129,34 @@ def test_pairbin_path_multi_limb_counts():
             getattr(b, name)
         )
         assert np.array_equal(ga, gb), (name, ga, gb)
+
+
+@pytest.mark.parametrize("n_banks", [17, 33, 65, 128])
+@pytest.mark.parametrize("dup", [1, 600])
+def test_bankbin_matches_four_pass(n_banks, dup):
+    """The wide-N lane-packed default path (_bankbin_pass; selected
+    when the pair-bin triangle exceeds 128 bins) must match the 4-pass
+    per-shift loop bit-for-bit on every default channel. ``dup``
+    replicates instances to push counts past 255 and exercise the
+    runtime multi-limb levels."""
+    rng = np.random.default_rng(n_banks * 7 + dup)
+    E = 6000
+    hi, lo, sid = _random_instances(rng, E, n_banks, 6, 50)
+    if dup > 1:
+        hi = jnp.concatenate([hi[:64]] * dup + [hi])
+        lo = jnp.concatenate([lo[:64]] * dup + [lo])
+        sid = jnp.concatenate([sid[:64]] * dup + [sid])
+    amin, amax = np.int32(1), np.int64(10**9)
+    # simple=True routes default channels through the 4-pass loop
+    ref = count_join_stats(
+        hi, lo, sid, amin, amax, n_banks=n_banks, simple=True
+    )
+    got = count_join_stats(
+        hi, lo, sid, amin, amax, n_banks=n_banks
+    )
+    for name in DEFAULT_FIELDS:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, name)),
+            np.asarray(getattr(ref, name)),
+            err_msg=name,
+        )
