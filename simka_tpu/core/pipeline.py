@@ -133,10 +133,41 @@ def extract_dataset_kmers(
     return tuple(np.concatenate(p) for p in parts), n_reads
 
 
+def _instance_bucket_hist(words, n_buckets: int = 16):
+    """[n_buckets] instance counts by k-mer hash bucket, on device.
+
+    The in-memory analog of the reference's printCountInfo repartition
+    histogram (src/SimkaPotara.hpp:785-811): a skew diagnostic for the
+    hash sharding, emitted on EVERY path (the -out-tmp path computes
+    the distinct-solid variant from host spectra instead)."""
+    import jax
+
+    from simka_tpu.ops.intmatmul import binned_sum
+    from simka_tpu.ops.kmers import SENTINEL, mix_hash
+
+    @jax.jit
+    def hist(words):
+        h = words[0]
+        for w in words[1:]:
+            h = mix_hash(h, w)
+        valid = words[0] != SENTINEL
+        bucket = jnp.where(
+            valid, (h % jnp.uint32(n_buckets)).astype(jnp.int32),
+            n_buckets,
+        )
+        return binned_sum(
+            valid.astype(jnp.int64), bucket, n_buckets, bits=40
+        )
+
+    return hist(tuple(words))
+
+
 def compute_statistics(
     dataset_seqs,
     dataset_ids: List[str],
     config: SimkaConfig,
+    log=None,
+    observer: Optional[dict] = None,
 ) -> SimkaStatistics:
     """Full statistics from per-dataset reads (lists or streams).
 
@@ -154,10 +185,12 @@ def compute_statistics(
     n_shards = config.n_shards or len(jax.devices())
     if not (n_shards > 1 and len(jax.devices()) >= n_shards):
         return _compute_statistics_device(
-            dataset_seqs, dataset_ids, config
+            dataset_seqs, dataset_ids, config, log=log,
+            observer=observer,
         )
     stats = _compute_statistics_sharded_device(
-        dataset_seqs, dataset_ids, config, n_shards
+        dataset_seqs, dataset_ids, config, n_shards, log=log,
+        observer=observer,
     )
     if stats is not None:
         return stats
@@ -234,6 +267,8 @@ def _compute_statistics_sharded_device(
     config: SimkaConfig,
     n_shards: int,
     batch_reads: int = 1 << 17,
+    log=None,
+    observer: Optional[dict] = None,
 ) -> Optional[SimkaStatistics]:
     """Device-resident multi-chip path: packed reads broadcast to the
     mesh, k-mers extracted AND hash-routed on device, joined per shard
@@ -273,6 +308,11 @@ def _compute_statistics_sharded_device(
 
     def chunk_stream():
         for s, seqs in enumerate(dataset_seqs):
+            if log is not None:
+                log(
+                    f"count [{s + 1}/{len(dataset_seqs)}] "
+                    f"{dataset_ids[s]}"
+                )
             for chunk in _iter_read_chunks(seqs, batch_reads):
                 nb_reads[s] += len(chunk)
                 yield s, chunk
@@ -309,9 +349,16 @@ def _compute_statistics_sharded_device(
 
     if not batches:
         return None
+    shard_hist = np.zeros(n_shards, np.int64)
     for _, n_kept, cap, _ in batches:
-        if int(np.max(np.asarray(n_kept))) > cap:
+        kept = np.asarray(n_kept)
+        shard_hist += kept.astype(np.int64)
+        if int(kept.max()) > cap:
             return None  # overflow: exact fallback takes over
+    if observer is not None:
+        # instances per shard: the sharded-path repartition diagnostic
+        # (free -- the routed kept counts double as the histogram)
+        observer["repartition_instances"] = shard_hist
 
     nw = len(batches[0][0])
     total = sum(b[2] for b in batches)
@@ -391,6 +438,8 @@ def _compute_statistics_device(
     dataset_ids: List[str],
     config: SimkaConfig,
     batch_reads: int = 1 << 17,
+    log=None,
+    observer: Optional[dict] = None,
 ) -> SimkaStatistics:
     """Single-device path: every k-mer word stays on the device from
     extraction through the fused join (no host round-trip), and reads
@@ -411,9 +460,16 @@ def _compute_statistics_device(
     k = config.kmer_size
     batches = []  # (words tuple, sample id)
     nb_reads = [0] * len(dataset_seqs)
+    hists = []  # per-batch bucket histograms (device arrays)
 
     def chunk_stream():
         for s, seqs in enumerate(dataset_seqs):
+            if log is not None:
+                # reference count-phase progress, SimkaPotara.hpp:835
+                log(
+                    f"count [{s + 1}/{len(dataset_seqs)}] "
+                    f"{dataset_ids[s]}"
+                )
             for chunk in _iter_read_chunks(seqs, batch_reads):
                 nb_reads[s] += len(chunk)
                 yield s, chunk
@@ -439,7 +495,10 @@ def _compute_statistics_device(
                 jnp.where(keep, hi, SENTINEL),
                 jnp.where(keep, lo, SENTINEL),
             )
-        batches.append((tuple(w.ravel() for w in words), s))
+        flat = tuple(w.ravel() for w in words)
+        if observer is not None:
+            hists.append(_instance_bucket_hist(flat))
+        batches.append((flat, s))
 
     chunks = chunk_stream()
 
@@ -507,6 +566,11 @@ def _compute_statistics_device(
         hi_bits=max(0, 2 * k - 32) if k <= 31 else 32,
         pallas_pairs=pallas_pairs_env(),
     )
+    if observer is not None and hists:
+        total = hists[0]
+        for h in hists[1:]:
+            total = total + h
+        observer["repartition_instances"] = np.asarray(total)
     return SimkaStatistics.from_join_stats(
         js,
         dataset_ids,
@@ -914,10 +978,27 @@ def run_simka(config: SimkaConfig) -> Dict[str, np.ndarray]:
             )
             for d in datasets
         ]
+        observer: dict = {}
         with metrics.stage("count"):
-            stats = compute_statistics(providers, ids, config)
+            stats = compute_statistics(
+                providers, ids, config,
+                log=log if config.verbose else None,
+                observer=observer,
+            )
         total = int(np.sum(stats.dataset_nb_reads))
         metrics.count("reads", total)
+        hist = observer.get("repartition_instances")
+        if hist is not None:
+            # reference printCountInfo analog on the DEFAULT path too
+            # (SimkaPotara.hpp:785-811): skew diagnostic of the hash
+            # sharding, by k-mer instances
+            metrics.set("repartition_histogram", hist.tolist())
+            if hist.sum():
+                log(
+                    f"kmer repartition over {len(hist)} hash "
+                    f"buckets: min {int(hist.min())} "
+                    f"mean {int(hist.mean())} max {int(hist.max())}"
+                )
         log(f"{len(ids)} datasets, {total} reads")
 
     with metrics.stage("output"):

@@ -265,7 +265,19 @@ class SimkaStatistics:
 
     def summary(self) -> str:
         """Global stats print (reference SimkaStatistics::print,
-        SimkaDistance.cpp:215-281)."""
+        SimkaDistance.cpp:215-281).
+
+        Field-set parity note: the reference's print RETURNS right
+        after the mean-coverage line (`return;`,
+        SimkaDistance.cpp:283) -- the richer "Statistics on kmer
+        intersections" block below it (286-342: solid rates,
+        erroneous k-mers, shared-by-T-banks table) is dead code, so
+        the live output is exactly this block, M/G suffixes included.
+        """
+
+        def mg(v: int) -> str:
+            return f"{v}    {v // 10**6}M    {v // 10**9}G"
+
         n = self.n_banks
         reads = self.dataset_nb_reads
         total = int(reads.sum())
@@ -277,15 +289,15 @@ class SimkaStatistics:
         lines = [
             "Stats",
             "\tReads",
-            f"\t\tTotal:    {total}",
-            f"\t\tMin:    {int(reads.min()) if n else 0}",
-            f"\t\tMax:    {int(reads.max()) if n else 0}",
-            f"\t\tAverage:    {total // n if n else 0}",
+            f"\t\tTotal:    {mg(total)}",
+            f"\t\tMin:    {mg(int(reads.min()) if n else 0)}",
+            f"\t\tMax:    {mg(int(reads.max()) if n else 0)}",
+            f"\t\tAverage:    {mg(total // n if n else 0)}",
             "\tKmers",
-            f"\t\tDistinct Kmers (before merging):    {int(self.distinct_per_bank.sum())}",
-            f"\t\tDistinct Kmers (after merging):    {self.nb_distinct_kmers}",
-            f"\t\tShared distinct Kmers:    {self.nb_shared_kmers}",
-            f"\t\tKmers:    {int(self.solid_per_bank.sum())}",
+            f"\t\tDistinct Kmers (before merging):    {mg(int(self.distinct_per_bank.sum()))}",
+            f"\t\tDistinct Kmers (after merging):    {mg(int(self.nb_distinct_kmers))}",
+            f"\t\tShared distinct Kmers:    {mg(int(self.nb_shared_kmers))}",
+            f"\t\tKmers:    {mg(int(self.solid_per_bank.sum()))}",
             f"\t\tMean k-mer coverage: {coverage.mean() if n else 0:g}",
         ]
         return "\n".join(lines)

@@ -132,3 +132,93 @@ def device_sketch_update(hi, lo, *, seed: int, sketch_size: int):
         out_h = jnp.concatenate([out_h, jnp.full((pad,), FULL64)])
         out_c = jnp.concatenate([out_c, jnp.zeros((pad,), jnp.uint32)])
     return out_h, out_c
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sketch_size", "use_filter")
+)
+def sketch_prefix_device(
+    h, *, sketch_size: int, use_filter: bool
+):
+    """Bottom-s prefix WITH occurrence positions, from a device-resident
+    per-instance hash stream (invalid/padding instances hold FULL64).
+
+    One program: sort -> run-length distinct counts + first/second
+    occurrence positions -> filter -> stable compaction -> [s] prefix.
+    Only the prefix (plus three scalars) ever leaves the device -- the
+    O(E) instance stream stays put (round 2 fetched it twice per
+    sample; the reference's heap loop is
+    /root/reference/src/simkaMin/SimkaMinCount.hpp:311-338).
+
+    Returns (hashes [s] u64 ascending, counts [s] i32, entry_pos [s]
+    i32, n_distinct, n_full64) where entry_pos is the heap-entry
+    position (first occurrence; second when use_filter, matching the
+    count-initialized-to-2 entry at SimkaMinCount.hpp:353), n_distinct
+    counts the kept distinct hashes and n_full64 the stream's FULL64
+    instances (the caller compares it against its invalid tally to
+    detect the 2^-64 corner of a GENUINE all-ones hash, which falls
+    back to the host-exact path).
+    """
+    E = h.shape[0]
+    idx = jnp.arange(E, dtype=jnp.int32)
+    hh = (h >> jnp.uint64(32)).astype(jnp.uint32)
+    hl = h.astype(jnp.uint32)
+    hh, hl, pos = jax.lax.sort((hh, hl, idx), num_keys=2)
+    same = (hh[1:] == hh[:-1]) & (hl[1:] == hl[:-1])
+    boundary = jnp.concatenate([jnp.array([True]), ~same])
+    starts_after = jnp.concatenate(
+        [jnp.where(boundary, idx, E)[1:], jnp.array([E], jnp.int32)]
+    )
+    count = _suffix_min(starts_after) - idx
+    second = jnp.concatenate([pos[1:], pos[-1:]])
+
+    is_full = (hh == jnp.uint32(0xFFFFFFFF)) & (
+        hl == jnp.uint32(0xFFFFFFFF)
+    )
+    n_full64 = jnp.sum(is_full.astype(jnp.int64))
+    keep = boundary & ~is_full
+    if use_filter:
+        keep = keep & (count >= 2)
+        entry = second
+    else:
+        entry = pos
+
+    from simka_tpu.ops.compact import compact_rows
+
+    hh_c, hl_c, cnt_c, ent_c = compact_rows(
+        (hh, hl, count, entry),
+        keep,
+        fills=(0xFFFFFFFF, 0xFFFFFFFF, 0, 0),
+    )
+    n_distinct = jnp.sum(keep.astype(jnp.int64))
+    s = min(sketch_size, E)
+    hashes = (hh_c[:s].astype(jnp.uint64) << jnp.uint64(32)) | hl_c[
+        :s
+    ].astype(jnp.uint64)
+    return hashes, cnt_c[:s], ent_c[:s], n_distinct, n_full64
+
+
+@jax.jit
+def count_before_device(h, h_max, t_last):
+    """Occurrences of ``h_max`` among the first ``t_last`` stream
+    positions (the streaming-heap count correction of the largest
+    sketch member; minhash/sketch.py docstring)."""
+    idx = jnp.arange(h.shape[0], dtype=jnp.int32)
+    return jnp.sum(
+        ((h == h_max) & (idx < t_last)).astype(jnp.int64)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "seed"))
+def hash_packed_batch(packed, validbits, k: int, seed: int):
+    """Extract canonical k-mers from one 2-bit-packed read batch and
+    murmur-hash them, fused in one device program (gatb encoding,
+    comp_xor=2; reference hot loop SimkaMinCount.hpp:217-267).
+
+    Returns (h [B*W] uint64 with FULL64 at invalid windows, n_valid).
+    """
+    from simka_tpu.ops.kmers import extract_packed
+
+    hi, lo = extract_packed(packed, validbits, k, comp_xor=2)
+    h, valid = hash_kmer_words(hi.ravel(), lo.ravel(), seed=seed)
+    return h, jnp.sum(valid.astype(jnp.int64))

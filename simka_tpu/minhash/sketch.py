@@ -66,13 +66,137 @@ def compute_sketch(
     use_filter: bool = False,
     batch_reads: int = 1 << 15,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Bottom-s sketch of one sample.
+    """Bottom-s sketch of one sample, device-resident.
 
     ``seqs``: list, iterator, or zero-arg provider of read byte
     strings (streamed in O(batch) host memory).
 
+    The pipeline is the SimkaMin analog of the exact pipeline's
+    ingest: a prefetch thread encodes + 2-bit packs + ships batch i+1
+    while the device extracts AND murmur-hashes batch i in one fused
+    program; the per-instance hash stream stays on device through the
+    spectrum sort, and only the bottom-s prefix (plus scalars) is
+    fetched (round 2 fetched the full stream twice per sample; the
+    reference threads one SelectKmersCommand per dataset instead,
+    SimkaMinCount.hpp:1085-1123).
+
+    The 2^-64 corner of a GENUINE all-ones murmur hash (which the
+    device stream cannot distinguish from invalid-window padding)
+    falls back to the host-exact path -- ``seqs`` must be re-iterable
+    (a list or provider; every product caller passes one) for that
+    branch.
+
     Returns (hashes ascending uint64, counts uint32), length <= s.
     """
+    from concurrent.futures import ThreadPoolExecutor
+    from itertools import islice
+
+    import jax
+    import jax.numpy as jnp
+
+    from simka_tpu.minhash.device import (
+        FULL64,
+        count_before_device,
+        hash_packed_batch,
+        sketch_prefix_device,
+    )
+    from simka_tpu.ops.kmers import pack_codes_host
+
+    k = kmer_size
+    parts = []  # device [E_b] uint64 hash streams
+    n_valid_parts = []  # device scalars
+    total_windows = 0
+    it = iter(seqs() if callable(seqs) else seqs)
+
+    def pull_and_prep():
+        chunk = list(islice(it, batch_reads))
+        if not chunk:
+            return None
+        max_len = max((len(s) for s in chunk), default=k)
+        width = -(-max(max_len, k) // 32) * 32
+        # gatb base encoding (A=0,C=1,T=2,G=3): hash-input parity
+        codes, _ = encode_batch_gatb(chunk, max_len=width)
+        pad_b = -(-len(chunk) // 256) * 256 - len(chunk)
+        if pad_b:
+            codes = np.concatenate(
+                [codes, np.full((pad_b, width), 255, np.uint8)]
+            )
+        packed, validbits = pack_codes_host(codes)
+        return jax.device_put(packed), jax.device_put(validbits)
+
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        pending = ex.submit(pull_and_prep)
+        while True:
+            res = pending.result()
+            if res is None:
+                break
+            pending = ex.submit(pull_and_prep)
+            packed, validbits = res
+            # comp_xor=2: gatb complements A<->T (0<->2), C<->G (1<->3)
+            h, n_valid = hash_packed_batch(packed, validbits, k, seed)
+            total_windows += int(h.shape[0])
+            parts.append(h)
+            n_valid_parts.append(n_valid)
+
+    if not parts:
+        return np.empty(0, np.uint64), np.empty(0, np.uint32)
+
+    # stable size classes bound recompiles of the spectrum program
+    target = 1 << max(10, (total_windows - 1).bit_length())
+    pad = target - total_windows
+    if pad:
+        parts.append(jnp.full((pad,), FULL64))
+    stream = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+    hashes_d, cnt_d, ent_d, n_distinct_d, n_full64_d = (
+        sketch_prefix_device(
+            stream, sketch_size=sketch_size, use_filter=use_filter
+        )
+    )
+    n_distinct = int(np.asarray(n_distinct_d))
+    total_valid = sum(int(np.asarray(v)) for v in n_valid_parts)
+    if int(np.asarray(n_full64_d)) != target - total_valid:
+        # a real k-mer hashed to all-ones: indistinguishable from
+        # padding on device; recompute exactly on host
+        return _compute_sketch_host(
+            seqs, kmer_size, sketch_size, seed, use_filter, batch_reads
+        )
+    if n_distinct == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.uint32)
+
+    s = min(sketch_size, n_distinct)
+    hashes = np.asarray(hashes_d)[:s]
+    out_counts = np.asarray(cnt_d)[:s].astype(np.int64)
+    base = 2 if use_filter else 1
+    if n_distinct >= sketch_size and s >= 1:
+        # the largest member stops counting once every smaller member
+        # has entered the (full) heap (minhash/sketch.py module
+        # docstring; SimkaMinCount.hpp:324)
+        h_max = hashes[s - 1]
+        if s >= 2:
+            t_last = int(np.asarray(ent_d)[: s - 1].max())
+        else:
+            t_last = 0
+        n_before = int(
+            np.asarray(
+                count_before_device(
+                    stream, jnp.uint64(h_max), jnp.int32(t_last)
+                )
+            )
+        )
+        out_counts[s - 1] = max(base, n_before)
+    return hashes.copy(), out_counts.astype(np.uint32)
+
+
+def _compute_sketch_host(
+    seqs,
+    kmer_size: int,
+    sketch_size: int,
+    seed: int,
+    use_filter: bool = False,
+    batch_reads: int = 1 << 15,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side reference sketcher (exact oracle for the device path;
+    also the FULL64-corner fallback of compute_sketch)."""
     from itertools import islice
 
     k = kmer_size
@@ -98,10 +222,6 @@ def compute_sketch(
         hi, lo, _ = extract_canonical_kmers(
             jnp.asarray(codes), k, comp_xor=2
         )
-        # hash ON DEVICE fused with the extraction output (bit-equal
-        # to the host murmur; tests/test_minhash_device.py) -- the
-        # round-2 host-numpy hash left the TPU idle for the most
-        # parallel stage of the sketch (SimkaMinCount.hpp:248-250)
         h, valid = hash_kmer_words(hi, lo, seed=seed)
         h = np.asarray(h).ravel()
         hash_parts.append(h[np.asarray(valid).ravel()])

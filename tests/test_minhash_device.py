@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from simka_tpu.minhash.device import (
     FULL64,
@@ -80,3 +81,33 @@ def test_device_sketch_fewer_distinct_than_s():
     n_real = int((h_out != np.uint64(0xFFFFFFFFFFFFFFFF)).sum())
     assert n_real == 8
     assert c_out[:8].sum() == 64 and np.all(c_out[8:] == 0)
+
+
+@pytest.mark.parametrize("use_filter", [False, True])
+@pytest.mark.parametrize("sketch_size", [8, 64, 100000])
+def test_device_sketch_matches_host(use_filter, sketch_size):
+    """compute_sketch (device-resident stream) must equal the host
+    reference sketcher bit-for-bit, including the streaming-heap
+    count correction of the largest member and the >=2 filter."""
+    from simka_tpu.minhash.sketch import (
+        _compute_sketch_host,
+        compute_sketch,
+    )
+
+    rng = np.random.default_rng(13)
+    bases = np.frombuffer(b"ACGTN", np.uint8)
+    reads = []
+    for _ in range(400):
+        ln = int(rng.integers(25, 90))
+        # 4% N rate: invalid windows exercise the FULL64 accounting
+        codes = rng.choice(5, size=ln, p=[0.24, 0.24, 0.24, 0.24, 0.04])
+        reads.append(bases[codes].tobytes())
+    # duplicate some reads so counts > 1 and the filter keeps members
+    reads = reads + reads[:150]
+
+    dev = compute_sketch(reads, 21, sketch_size, 100, use_filter,
+                         batch_reads=128)
+    host = _compute_sketch_host(reads, 21, sketch_size, 100,
+                                use_filter, batch_reads=128)
+    np.testing.assert_array_equal(dev[0], host[0])
+    np.testing.assert_array_equal(dev[1], host[1])
