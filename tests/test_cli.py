@@ -50,7 +50,17 @@ def test_end_to_end_default_flags(tmp_path):
         os.path.join(out, "mat_abundance_braycurtis.csv.gz"), "rt"
     ) as f:
         assert f.read().startswith(";A;B;C;D;E")
-    assert os.path.exists(os.path.join(out, "simka_metrics.json"))
+    metrics_path = os.path.join(out, "simka_metrics.json")
+    assert os.path.exists(metrics_path)
+    # the repartition skew diagnostic must appear on the DEFAULT
+    # (in-memory) path too, not just -out-tmp (printCountInfo analog,
+    # SimkaPotara.hpp:785-811)
+    import json
+
+    with open(metrics_path) as f:
+        metrics = json.load(f)
+    hist = metrics["counters"]["repartition_histogram"]
+    assert len(hist) >= 2 and sum(hist) > 0
 
 
 def test_min_info_roundtrip(tmp_path, capsys):
