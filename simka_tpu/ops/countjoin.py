@@ -646,11 +646,13 @@ def _stats_from_rows(
     # shift collapse to 1, using the lanes an [B, N] one-hot would
     # leave idle. Triangle packing stretches the one-pass regime from
     # N <= 11 (N*N bins) to N <= 16.
-    default_only = (not simple) and (not complex_)
-    use_packed = default_only and N * (N - 1) // 2 <= 128
-    # wide-N lane packing: partner-bank rhs + channel-packed lhs
-    # (1 pass/shift to N=32, 2 to N=64; see _bankbin_pass)
-    use_bankbin = default_only and not use_packed and N <= 128
+    # Default channels at N(N-1)/2 <= 128 take the triangle pair-bin
+    # path; beyond it the 4-pass per-shift loop is the measured best
+    # (a channel-packed-lanes variant and the Pallas kernel both lost
+    # to it on chip -- ROADMAP round-3 dead ends).
+    use_packed = (
+        (not simple) and (not complex_) and N * (N - 1) // 2 <= 128
+    )
 
     # global totals feeding the Whittaker/KL pair terms; a sweep over
     # hash ranges must inject the whole-space totals here
@@ -658,9 +660,8 @@ def _stats_from_rows(
     # max_cnt doubles as the runtime bound on every count-derived
     # einsum value: lets _pair_bin_int skip high limbs when coverage
     # is low (the common case; see its docstring)
-    if use_packed or use_bankbin:
-        pass_fn = _pairbin_pass if use_packed else _bankbin_pass
-        acc = pass_fn(
+    if use_packed:
+        acc = _pairbin_pass(
             seg_e,
             jnp.where(kept2, sid2, N),
             jnp.where(kept2, cnt2, 0),
@@ -1009,155 +1010,6 @@ def _pairbin_pass(
     if n_limbs == 1:
         return make_loop(1)()
     # runtime limb level: 0 while max_cnt < 256, 1 below 2^16, ...
-    level = jnp.sum(
-        jnp.asarray(
-            [max_cnt >= (1 << (8 * L)) for L in range(1, n_limbs)]
-        ).astype(jnp.int32)
-    )
-    return jax.lax.switch(
-        level, [make_loop(L + 1) for L in range(n_limbs)]
-    )
-
-
-def _bankbin_pass(
-    seg_e,
-    sid_m,
-    cnt_m,
-    kept2,
-    d_max,
-    max_cnt,
-    *,
-    n_banks: int,
-    count_bits: int,
-    vary_axes: tuple,
-):
-    """Default-channel pair accumulation for WIDE N (triangle > 128).
-
-    The pair-bin triangle layout (_pairbin_pass) caps at N = 16; the
-    old fallback paid 4 separate one-hot einsums per shift (one per
-    stat channel). Here the rhs one-hot is over the PARTNER bank b
-    (N <= 128 lanes always fit) and the lhs lanes pack
-    floor(128 / N) CHANNELS x the a-bank one-hot:
-
-      lhs[r, c*N + a] = chan_c(r) * [sid_a(r) = a]
-      out[c*N + a, b] = sum_r chan_c(r) * [pair (a, b) at shift d]
-
-    so one [B, <=128] x [B, N] MXU pass carries floor(128/N) channels
-    at once: 1 pass/shift up to N = 32, 2 up to N = 64, 4 at N = 128
-    (where it equals the old layout -- lanes are the hard bound). The
-    channel list and runtime limb-level switch are identical to
-    _pairbin_pass; the lhs is built compare-vs-iota (a lane-concat
-    materializes in HBM and breaks XLA's fusion, ROADMAP dead end 2).
-
-    Chip measurements (scripts/profiling/bench_large_n.py, E=2^23):
-    the 4-pass loop ran 70M k-mers/s at N=32 / 50M at N=64 / 22M at
-    N=128; this path's pass-count win covers exactly that gap.
-    """
-    N = n_banks
-    E = seg_e.shape[0]
-    n_limbs = max(1, -(-count_bits // 8))
-    per_pass = max(1, 128 // N)
-    seg_p, sid_p, cnt_p = _shift_padded(
-        (seg_e, sid_m, cnt_m), (E, N, 0), N + 1
-    )
-    bank_iota = jnp.arange(N, dtype=jnp.int32)
-    sid_ap = _panels(sid_m, fill=N)  # dropped rows already hold N
-
-    def make_loop(active_limbs):
-        C = 1 + 3 * active_limbs
-        n_passes = -(-C // per_pass)
-
-        def run():
-            def shift_body(d, acc):
-                seg_b, sid_b, cnt_b = _shift_window(
-                    (seg_p, sid_p, cnt_p), d, E
-                )
-                m = kept2 & (seg_e == seg_b)
-                mn = jnp.minimum(cnt_m, cnt_b)
-                chans = [m.astype(jnp.int32)]
-                for limb in range(active_limbs):
-                    sh = 8 * limb
-                    chans += [
-                        (cnt_m >> sh) & 0xFF,
-                        (cnt_b >> sh) & 0xFF,
-                        (mn >> sh) & 0xFF,
-                    ]
-                chans_p = [
-                    _panels(c).astype(jnp.float32) for c in chans
-                ]
-                # the pair mask folds into the rhs: ~m rows one-hot
-                # nowhere, so the lhs needs no masking of its own
-                oh_b = (
-                    _panels(jnp.where(m, sid_b, N), fill=N)[..., None]
-                    == bank_iota
-                ).astype(jnp.float32)
-                outs = []
-                for p in range(n_passes):
-                    k0 = p * per_pass
-                    kn = min(per_pass, C - k0)
-                    lanes = kn * N
-                    q = jnp.arange(lanes, dtype=jnp.int32)
-                    a_q = q % N
-                    lane_val = None
-                    for k in range(kn):
-                        contrib = jnp.where(
-                            (q // N) == k,
-                            chans_p[k0 + k][..., None],
-                            0.0,
-                        )
-                        lane_val = (
-                            contrib
-                            if lane_val is None
-                            else lane_val + contrib
-                        )
-                    lhs = jnp.where(
-                        sid_ap[..., None] == a_q, lane_val, 0.0
-                    )
-                    part = jnp.einsum(
-                        "brq,brn->bqn",
-                        lhs,
-                        oh_b,
-                        preferred_element_type=jnp.float32,
-                    )
-                    outs.append(
-                        part.astype(jnp.int64)
-                        .sum(axis=0)
-                        .reshape(kn, N, N)
-                    )
-                out = jnp.concatenate(outs, axis=0)  # [C, N, N]
-                ab = ba = bray = None
-                for limb in range(active_limbs):
-                    sh = 8 * limb
-                    a_l = out[1 + 3 * limb] << sh
-                    b_l = out[2 + 3 * limb] << sh
-                    m_l = out[3 + 3 * limb] << sh
-                    ab = a_l if ab is None else ab + a_l
-                    ba = b_l if ba is None else ba + b_l
-                    bray = m_l if bray is None else bray + m_l
-                return {
-                    "shared_distinct": acc["shared_distinct"] + out[0],
-                    "shared_kmers_ab": acc["shared_kmers_ab"] + ab,
-                    "shared_kmers_ba": acc["shared_kmers_ba"] + ba,
-                    "bray": acc["bray"] + bray,
-                }
-
-            acc0 = {
-                "shared_distinct": jnp.zeros((N, N), jnp.int64),
-                "shared_kmers_ab": jnp.zeros((N, N), jnp.int64),
-                "shared_kmers_ba": jnp.zeros((N, N), jnp.int64),
-                "bray": jnp.zeros((N, N), jnp.int64),
-            }
-            if vary_axes:
-                acc0 = jax.tree.map(
-                    lambda x: jax.lax.pcast(x, vary_axes, to="varying"),
-                    acc0,
-                )
-            return jax.lax.fori_loop(1, d_max, shift_body, acc0)
-
-        return run
-
-    if n_limbs == 1:
-        return make_loop(1)()
     level = jnp.sum(
         jnp.asarray(
             [max_cnt >= (1 << (8 * L)) for L in range(1, n_limbs)]

@@ -133,12 +133,11 @@ def test_pairbin_path_multi_limb_counts():
 
 @pytest.mark.parametrize("n_banks", [17, 33, 65, 128])
 @pytest.mark.parametrize("dup", [1, 600])
-def test_bankbin_matches_four_pass(n_banks, dup):
-    """The wide-N lane-packed default path (_bankbin_pass; selected
-    when the pair-bin triangle exceeds 128 bins) must match the 4-pass
-    per-shift loop bit-for-bit on every default channel. ``dup``
-    replicates instances to push counts past 255 and exercise the
-    runtime multi-limb levels."""
+def test_wide_n_default_channels_consistent(n_banks, dup):
+    """Wide-N (triangle > 128 bins) default channels must not depend
+    on which optional channels ride along in the shift loop. ``dup``
+    replicates instances to push counts past 255 (runtime multi-limb
+    levels) and to lengthen segments (the d_max regime)."""
     rng = np.random.default_rng(n_banks * 7 + dup)
     E = 6000
     hi, lo, sid = _random_instances(rng, E, n_banks, 6, 50)
