@@ -18,6 +18,13 @@ def min_main(argv) -> int:
     p.add_argument("-nb-kmers", type=int, default=100000)
     p.add_argument("-seed", type=int, default=100)
     p.add_argument("-filter", action="store_true")
+    p.add_argument(
+        "-filter-bloom",
+        action="store_true",
+        help="emulate the reference's approximate Bloom -filter "
+        "mechanism (sized from -max-memory/-nb-cores) instead of the "
+        "default exact >=2 semantics; implies -filter",
+    )
     p.add_argument("-max-reads", type=int, default=0)
     p.add_argument("-min-read-size", type=int, default=0)
     p.add_argument("-min-shannon-index", type=float, default=0.0)
@@ -55,9 +62,17 @@ def min_main(argv) -> int:
     p.add_argument("-nb-kmers", type=int, default=1000000)
     p.add_argument("-seed", type=int, default=100)
     p.add_argument("-filter", action="store_true")
+    p.add_argument(
+        "-filter-bloom",
+        action="store_true",
+        help="emulate the reference's approximate Bloom -filter "
+        "(see the sketch subcommand)",
+    )
     p.add_argument("-max-reads", type=int, default=0)
     p.add_argument("-min-read-size", type=int, default=0)
     p.add_argument("-min-shannon-index", type=float, default=0.0)
+    p.add_argument("-nb-cores", type=int, default=0)
+    p.add_argument("-max-memory", type=int, default=8000)
 
     p = sub.add_parser("update", help="add new datasets to an existing run")
     p.add_argument("-in", dest="input", required=True)
@@ -74,7 +89,21 @@ def min_main(argv) -> int:
     args = parser.parse_args(argv)
     from simka_tpu.minhash import pipeline as mp
 
-    if getattr(args, "filter", False):
+    bloom_bits = None
+    if getattr(args, "filter_bloom", False):
+        from simka_tpu.minhash.bloom import bloom_bits_from_config
+
+        bloom_bits = bloom_bits_from_config(
+            getattr(args, "max_memory", 8000), getattr(args, "nb_cores", 0)
+        )
+        print(
+            f"[simka-min] -filter-bloom: reference Bloom mechanism "
+            f"emulation, {bloom_bits} bits, 7 hash functions "
+            f"(approximate; see minhash/bloom.py for fidelity bounds)",
+            file=sys.stderr,
+            flush=True,
+        )
+    elif getattr(args, "filter", False):
         # the reference sizes a Bloom filter from -max-memory
         # (SimkaMinCount.hpp:1155-1161) and admits k-mers the Bloom
         # has seen once (approximate, false positives depend on
@@ -95,7 +124,7 @@ def min_main(argv) -> int:
         mp.sketch_command(
             args.input, args.out, args.kmer_size, args.nb_kmers,
             args.seed, args.filter, args.max_reads, args.min_read_size,
-            args.min_shannon_index,
+            args.min_shannon_index, bloom_bits=bloom_bits,
         )
     elif args.cmd == "distance":
         mp.distance_command(
@@ -112,7 +141,7 @@ def min_main(argv) -> int:
         mp.run_simka_min(
             args.input, args.out, args.kmer_size, args.nb_kmers,
             args.seed, args.filter, args.max_reads, args.min_read_size,
-            args.min_shannon_index,
+            args.min_shannon_index, bloom_bits=bloom_bits,
         )
     elif args.cmd == "update":
         mp.run_simka_min_update(args.out, args.input)

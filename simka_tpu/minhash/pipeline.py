@@ -36,11 +36,16 @@ def sketch_command(
     min_read_size: int = 0,
     min_read_shannon_index: float = 0.0,
     verbose: bool = True,
+    bloom_bits: int | None = None,
 ) -> SketchFile:
     """`simkaMinCore sketch`: one bottom-s sketch per dataset.
 
     SimkaMin's -max-reads default is 0 = use all reads
     (SimkaMinCount.hpp:1402), unlike exact simka's auto mode.
+
+    ``bloom_bits``: opt-in reference-fidelity Bloom `-filter`
+    emulation (minhash/bloom.py) instead of the default exact >= 2
+    semantics; implies use_filter.
     """
     datasets = parse_input_file(input_filename)
     check_input_validity(datasets)
@@ -50,18 +55,28 @@ def sketch_command(
     for i, ds in enumerate(datasets):
         # stream reads through the sketcher (no List[bytes]
         # materialization; gatb IBank streaming, SimkaCommons.hpp:159)
-        hashes, counts = compute_sketch(
-            lambda ds=ds: iter_dataset_reads(
+        def reads(ds=ds):
+            return iter_dataset_reads(
                 ds.banks,
                 min_read_size,
                 min_read_shannon_index,
                 max_reads=max_reads,
-            ),
-            kmer_size,
-            sketch_size,
-            seed,
-            use_filter,
-        )
+            )
+
+        if bloom_bits is not None:
+            from simka_tpu.minhash.bloom import compute_sketch_bloom
+
+            hashes, counts = compute_sketch_bloom(
+                reads, kmer_size, sketch_size, seed, bloom_bits
+            )
+        else:
+            hashes, counts = compute_sketch(
+                reads,
+                kmer_size,
+                sketch_size,
+                seed,
+                use_filter,
+            )
         sf.write_slot(i, hashes, counts)
         if verbose:
             print(
@@ -199,6 +214,7 @@ def run_simka_min(
     min_read_shannon_index: float = 0.0,
     tile: int = 100,
     verbose: bool = True,
+    bloom_bits: int | None = None,
 ) -> List[str]:
     """The simkaMin.py driver flow: sketch -> tiled distance -> export.
 
@@ -223,6 +239,7 @@ def run_simka_min(
         min_read_size,
         min_read_shannon_index,
         verbose=verbose,
+        bloom_bits=bloom_bits,
     )
     n = sf.header().nb_datasets
     steps = -(-n // tile)
