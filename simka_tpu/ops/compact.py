@@ -35,7 +35,13 @@ import jax.numpy as jnp
 # Block height for the local stable sorts.  Large enough that the
 # dynamic_update_slice loop has few iterations (E/BLOCK), small enough
 # that one block of all payload columns stays VMEM-resident for the
-# batched sort.
+# batched sort.  Tuned on chip (v5e, E=2^24 u64-key+count payload,
+# scripts/profiling/bench_compact.py): standalone 4096=61.5ms
+# 8192=55.3 16384=53.5 32768=54.4 65536=58.2 131072=63.4 262144=69.3.
+# 16384 wins standalone but measured a 2% REGRESSION inside the fused
+# count+join kernel (123.3 -> 120.7M k-mers/s) -- the extra
+# dynamic_update_slice iterations interact badly with the surrounding
+# fusion -- so the fused-kernel optimum 32768 stays.
 COMPACT_BLOCK = 32768
 
 
