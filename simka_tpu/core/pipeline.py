@@ -104,24 +104,18 @@ def extract_dataset_kmers(
         if min_kmer_shannon_index > 0.0:
             # the reference parses -kmer-shannon-index but its live
             # call site is commented out (SimkaAlgorithm.hpp:226-232);
-            # we apply it for real at count time
-            if k > 31:
-                raise NotImplementedError(
-                    "-kmer-shannon-index currently supports k <= 31"
-                )
+            # we apply it for real at count time, at any k
             from simka_tpu.ops.kmers import (
                 SENTINEL,
-                kmer_shannon_index,
+                kmer_shannon_index_words,
             )
 
-            hi, lo = batch_words
             keep = (
-                kmer_shannon_index(hi, lo, k)
+                kmer_shannon_index_words(batch_words, k)
                 >= min_kmer_shannon_index
             )
-            batch_words = (
-                jnp.where(keep, hi, SENTINEL),
-                jnp.where(keep, lo, SENTINEL),
+            batch_words = tuple(
+                jnp.where(keep, w, SENTINEL) for w in batch_words
             )
         if not parts:
             parts = [[] for _ in batch_words]
@@ -296,10 +290,6 @@ def _compute_statistics_sharded_device(
     )
 
     k = config.kmer_size
-    if config.min_kmer_shannon_index > 0.0 and k > 31:
-        raise NotImplementedError(
-            "-kmer-shannon-index currently supports k <= 31"
-        )
     mesh = make_mesh(n_shards)
     replicated = NamedSharding(mesh, P())
 
@@ -477,23 +467,17 @@ def _compute_statistics_device(
     def device_extract(s, packed, validbits):
         words = extract_packed(packed, validbits, k, multi=k > 31)
         if config.min_kmer_shannon_index > 0.0:
-            if k > 31:
-                raise NotImplementedError(
-                    "-kmer-shannon-index currently supports k <= 31"
-                )
             from simka_tpu.ops.kmers import (
                 SENTINEL,
-                kmer_shannon_index,
+                kmer_shannon_index_words,
             )
 
-            hi, lo = words
             keep = (
-                kmer_shannon_index(hi, lo, k)
+                kmer_shannon_index_words(words, k)
                 >= config.min_kmer_shannon_index
             )
-            words = (
-                jnp.where(keep, hi, SENTINEL),
-                jnp.where(keep, lo, SENTINEL),
+            words = tuple(
+                jnp.where(keep, w, SENTINEL) for w in words
             )
         flat = tuple(w.ravel() for w in words)
         if observer is not None:

@@ -14,6 +14,12 @@ reference's *mechanism* -- approximate admission where a Bloom false
 positive admits a singleton (with count occurrences+1) -- e.g. to
 reproduce reference behavior on pathological inputs.
 
+Memory: the Bloom is BIT-PACKED (n_bits/8 bytes, like the reference's
+BloomCacheCoherent) and the instance stream is consumed in read
+batches -- per-batch hash/index buffers are the only transient state,
+so host memory stays O(bloom + sketch + batch) for arbitrarily large
+samples (the reference's own bound, SimkaMinCount.hpp:311-382).
+
 Fidelity bounds (documented divergence, PARITY.md): the reference's
 ``BloomCacheCoherent`` lives in the gatb-core submodule, which is
 EMPTY in the reference tree -- its exact hash family and cache-line
@@ -58,14 +64,86 @@ def bloom_bits_from_config(max_memory_mb: int, nb_cores: int) -> int:
     return max(bits, 10000)
 
 
-def _bloom_indices(kmer_values: np.ndarray, n_bits: int) -> np.ndarray:
-    """[E, 7] bit indices for each canonical k-mer value."""
-    out = np.empty((len(kmer_values), len(_BLOOM_SEEDS)), np.int64)
-    for j, s in enumerate(_BLOOM_SEEDS):
-        out[:, j] = (murmur3_u64(kmer_values, s) % np.uint64(n_bits)).astype(
-            np.int64
+class BloomReplay:
+    """Streaming replay of SelectKmersCommand::processFiltered
+    (SimkaMinCount.hpp:341-382): feed instance batches in read order,
+    then take the admitted sketch.
+
+    The Bloom is only consulted while the heap is filling, or when the
+    instance's hash beats the current heap top -- so which instances
+    insert Bloom bits depends on the evolving heap state; the replay
+    preserves that exactly. The bit array is packed 8 bits/byte (the
+    reference's BloomCacheCoherent is bit-packed too; a bool-per-bit
+    array would cost 8x the user's declared -max-memory budget).
+    """
+
+    def __init__(self, sketch_size: int, n_bits: int):
+        self.sketch_size = sketch_size
+        self.n_bits = n_bits
+        self._bytes = np.zeros((n_bits + 7) // 8, np.uint8)
+        self._counts: dict = {}
+        self._heap: list = []  # max-heap of admitted hashes via negation
+
+    def feed(self, hashes: np.ndarray, kmer_values: np.ndarray) -> None:
+        """One read batch's instances, in stream order."""
+        if len(hashes) == 0:
+            return
+        # [B, 7] bit positions, vectorized per batch; split into the
+        # byte index and the in-byte mask for the packed array
+        pos = np.empty((len(kmer_values), len(_BLOOM_SEEDS)), np.uint64)
+        for j, s in enumerate(_BLOOM_SEEDS):
+            pos[:, j] = murmur3_u64(kmer_values, s) % np.uint64(
+                self.n_bits
+            )
+        byte_idx = (pos >> np.uint64(3)).astype(np.int64)
+        bit_mask = (
+            np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)
         )
-    return out
+
+        bits = self._bytes
+        counts = self._counts
+        heap = self._heap
+        sketch_size = self.sketch_size
+        h_list = hashes.tolist()  # python ints: fast loop + exact cmp
+        for i, h in enumerate(h_list):
+            if len(heap) < sketch_size:
+                bi, bm = byte_idx[i], bit_mask[i]
+                if ((bits[bi] & bm) == bm).all():
+                    if h not in counts:
+                        heapq.heappush(heap, -h)
+                        counts[h] = 2
+                    else:
+                        counts[h] += 1
+                else:
+                    np.bitwise_or.at(bits, bi, bm)
+            else:
+                # strict <: equality with the top is dropped without
+                # touching the Bloom (SimkaMinCount.hpp:361)
+                if h < -heap[0]:
+                    bi, bm = byte_idx[i], bit_mask[i]
+                    if ((bits[bi] & bm) == bm).all():
+                        if h not in counts:
+                            evicted = -heapq.heappop(heap)
+                            del counts[evicted]
+                            heapq.heappush(heap, -h)
+                            counts[h] = 2
+                        else:
+                            counts[h] += 1
+                    else:
+                        np.bitwise_or.at(bits, bi, bm)
+
+    def result(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(hashes ascending uint64, counts uint32)."""
+        counts = self._counts
+        if not counts:
+            return np.empty(0, np.uint64), np.empty(0, np.uint32)
+        out_h = np.sort(
+            np.fromiter(counts.keys(), np.uint64, len(counts))
+        )
+        out_c = np.array(
+            [counts[int(h)] for h in out_h], np.uint32
+        )
+        return out_h, out_c
 
 
 def replay_sketch_bloom(
@@ -74,54 +152,11 @@ def replay_sketch_bloom(
     sketch_size: int,
     n_bits: int,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Sequential replay of SelectKmersCommand::processFiltered
-    (SimkaMinCount.hpp:341-382) over an instance stream in read order.
-
-    The Bloom is only consulted while the heap is filling, or when the
-    instance's hash beats the current heap top -- so which instances
-    insert Bloom bits depends on the evolving heap state; this replay
-    preserves that exactly.
-
-    Returns (hashes ascending uint64, counts uint32).
-    """
-    bits = np.zeros(n_bits, dtype=bool)
-    idx = _bloom_indices(kmer_values, n_bits)
-    counts: dict = {}
-    heap: list = []  # max-heap of admitted hashes via negation
-
-    h_list = hashes.tolist()  # python ints: fast loop + exact compares
-    for i, h in enumerate(h_list):
-        if len(heap) < sketch_size:
-            row = idx[i]
-            if bits[row].all():
-                if h not in counts:
-                    heapq.heappush(heap, -h)
-                    counts[h] = 2
-                else:
-                    counts[h] += 1
-            else:
-                bits[row] = True
-        else:
-            # strict <: equality with the top is dropped without
-            # touching the Bloom (SimkaMinCount.hpp:361)
-            if h < -heap[0]:
-                row = idx[i]
-                if bits[row].all():
-                    if h not in counts:
-                        evicted = -heapq.heappop(heap)
-                        del counts[evicted]
-                        heapq.heappush(heap, -h)
-                        counts[h] = 2
-                    else:
-                        counts[h] += 1
-                else:
-                    bits[row] = True
-
-    if not counts:
-        return np.empty(0, np.uint64), np.empty(0, np.uint32)
-    out_h = np.sort(np.fromiter(counts.keys(), np.uint64, len(counts)))
-    out_c = np.array([counts[int(h)] for h in out_h], np.uint32)
-    return out_h, out_c
+    """One-shot replay over a full in-memory instance stream (tests /
+    small inputs; the product path feeds batches via BloomReplay)."""
+    rp = BloomReplay(sketch_size, n_bits)
+    rp.feed(hashes, kmer_values)
+    return rp.result()
 
 
 def compute_sketch_bloom(
@@ -134,10 +169,11 @@ def compute_sketch_bloom(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Bottom-s sketch with the reference's Bloom admission mechanism.
 
-    Hashing runs vectorized on host (murmur of the gatb-encoded
+    Hashing runs vectorized per read batch (murmur of the gatb-encoded
     canonical value, identical stream to the exact path); admission is
-    the sequential replay above. k <= 31 only (single-word canonical
-    values; the emulation needs the k-mer VALUE, not just its hash).
+    the streaming replay above -- the per-instance stream is never
+    materialized whole. k <= 31 only (single-word canonical values;
+    the emulation needs the k-mer VALUE, not just its hash).
     """
     from itertools import islice
 
@@ -155,7 +191,7 @@ def compute_sketch_bloom(
         )
 
     k = kmer_size
-    hash_parts, val_parts = [], []
+    replay = BloomReplay(sketch_size, bloom_bits)
     it = iter(seqs() if callable(seqs) else seqs)
     while True:
         chunk = list(islice(it, batch_reads))
@@ -167,13 +203,8 @@ def compute_sketch_bloom(
         hi, lo, _ = extract_canonical_kmers(jnp.asarray(codes), k, comp_xor=2)
         h, valid = hash_kmer_words(hi, lo, seed=seed)
         keep = np.asarray(valid).ravel()
-        hash_parts.append(np.asarray(h).ravel()[keep])
+        hashes = np.asarray(h).ravel()[keep]
         hi_n = np.asarray(hi).ravel()[keep].astype(np.uint64)
         lo_n = np.asarray(lo).ravel()[keep].astype(np.uint64)
-        val_parts.append((hi_n << np.uint64(32)) | lo_n)
-
-    if not hash_parts:
-        return np.empty(0, np.uint64), np.empty(0, np.uint32)
-    stream_h = np.concatenate(hash_parts)
-    stream_v = np.concatenate(val_parts)
-    return replay_sketch_bloom(stream_h, stream_v, sketch_size, bloom_bits)
+        replay.feed(hashes, (hi_n << np.uint64(32)) | lo_n)
+    return replay.result()

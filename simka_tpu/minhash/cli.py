@@ -77,6 +77,20 @@ def min_main(argv) -> int:
     p = sub.add_parser("update", help="add new datasets to an existing run")
     p.add_argument("-in", dest="input", required=True)
     p.add_argument("-out", dest="out", required=True, help="existing pipeline output dir")
+    # the reference update driver forwards these to the new datasets'
+    # sketch pass (simkaMin_update.py:119-130)
+    p.add_argument("-filter", action="store_true")
+    p.add_argument(
+        "-filter-bloom",
+        action="store_true",
+        help="emulate the reference's approximate Bloom -filter "
+        "(see the sketch subcommand)",
+    )
+    p.add_argument("-max-reads", type=int, default=0)
+    p.add_argument("-min-read-size", type=int, default=0)
+    p.add_argument("-min-shannon-index", type=float, default=0.0)
+    p.add_argument("-nb-cores", type=int, default=0)
+    p.add_argument("-max-memory", type=int, default=8000)
 
     # hidden in the reference too (SimkaMin.cpp:100-103)
     p = sub.add_parser("matrix-update", help="grow binary matrices in place")
@@ -99,7 +113,9 @@ def min_main(argv) -> int:
         print(
             f"[simka-min] -filter-bloom: reference Bloom mechanism "
             f"emulation, {bloom_bits} bits, 7 hash functions "
-            f"(approximate; see minhash/bloom.py for fidelity bounds)",
+            f"(approximate; NOT bit-compatible with reference -filter "
+            f"output -- gatb-core's Bloom internals are absent from "
+            f"the reference tree; see minhash/bloom.py)",
             file=sys.stderr,
             flush=True,
         )
@@ -144,7 +160,11 @@ def min_main(argv) -> int:
             args.min_shannon_index, bloom_bits=bloom_bits,
         )
     elif args.cmd == "update":
-        mp.run_simka_min_update(args.out, args.input)
+        mp.run_simka_min_update(
+            args.out, args.input, args.filter, args.max_reads,
+            args.min_read_size, args.min_shannon_index,
+            bloom_bits=bloom_bits,
+        )
     elif args.cmd == "matrix-update":
         mp.matrix_update_command(
             args.input, args.in_evn, args.in_nvn, args.n_old, args.n_new

@@ -262,11 +262,23 @@ def run_simka_min(
 def run_simka_min_update(
     existing_output_dir: str,
     new_input_filename: str,
+    use_filter: bool = False,
+    max_reads: int = 0,
+    min_read_size: int = 0,
+    min_read_shannon_index: float = 0.0,
     verbose: bool = True,
+    bloom_bits: int | None = None,
 ) -> List[str]:
     """The simkaMin_update.py flow: sketch new datasets with the
     existing header's (k, s, seed), distance existing-vs-new and
-    new-vs-new, matrix-update, append, re-export."""
+    new-vs-new, matrix-update, append, re-export.
+
+    Filter/read options apply to the NEW datasets' sketch pass -- the
+    reference update driver forwards -filter/-max-reads/
+    -min-read-size/-min-shannon-index the same way
+    (simkaMin_update.py:119-130); the sketch header does not record
+    them, so keeping them consistent with the original run is the
+    caller's responsibility there as here."""
     sketch_path = os.path.join(existing_output_dir, "sketch", "sketch.bin")
     dist_dir = os.path.join(existing_output_dir, "distance")
     h = SketchFile(sketch_path).header()
@@ -279,7 +291,12 @@ def run_simka_min_update(
         h.kmer_size,
         h.sketch_size,
         h.seed,
+        use_filter,
+        max_reads,
+        min_read_size,
+        min_read_shannon_index,
         verbose=verbose,
+        bloom_bits=bloom_bits,
     )
     n_new = SketchFile(new_sketch).header().nb_datasets
 

@@ -211,26 +211,34 @@ def extract_packed(packed, validbits, k: int, comp_xor: int = 3,
 
 
 def kmer_shannon_index(hi, lo, k: int):
-    """Per-k-mer Shannon index over the 4 base frequencies.
+    """Per-k-mer Shannon index over the 4 base frequencies (k <= 31).
 
     Mirrors SimkaCountProcessorSimple::getShannonIndex
     (src/core/SimkaAlgorithm.hpp:634-658). Inert in the reference's
     live path (the call site is commented out) but exposed for the
     -kmer-shannon-index option.
     """
-    hi = hi.astype(jnp.uint32)
-    lo = lo.astype(jnp.uint32)
-    counts = []
-    for base in range(4):
-        cnt = jnp.zeros(hi.shape, jnp.float32)
-        for i in range(k):
-            bits = 2 * i
-            if bits < 32:
-                code = (lo >> bits) & 3
-            else:
-                code = (hi >> (bits - 32)) & 3
-            cnt = cnt + (code == base).astype(jnp.float32)
-        counts.append(cnt)
+    return kmer_shannon_index_words((hi, lo), k)
+
+
+def kmer_shannon_index_words(words, k: int):
+    """Shannon index from a big-endian uint32 word tuple (any k).
+
+    ``words[0]`` is the most significant word; base i (0 = the LAST
+    base appended by the Horner loop) occupies bits [2i, 2i+2) counted
+    from the least significant end of the concatenated value.
+    """
+    words = tuple(w.astype(jnp.uint32) for w in words)
+    nw = len(words)
+    counts = [jnp.zeros(words[0].shape, jnp.float32) for _ in range(4)]
+    for i in range(k):
+        bits = 2 * i
+        w = nw - 1 - bits // 32
+        code = (words[w] >> (bits % 32)) & 3
+        for base in range(4):
+            counts[base] = counts[base] + (code == base).astype(
+                jnp.float32
+            )
     freqs = jnp.stack(counts, axis=-1) / jnp.float32(k)
     logf = jnp.where(freqs > 0, jnp.log(freqs) / jnp.log(2.0), 0.0)
     return jnp.abs(jnp.sum(freqs * logf, axis=-1))

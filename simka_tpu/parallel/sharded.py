@@ -231,10 +231,10 @@ def _route_program(
         words = extract_packed(packed, validbits, k, multi=k > 31)
         words = tuple(w.ravel() for w in words)
         if min_kmer_shannon_index > 0.0:
-            from simka_tpu.ops.kmers import kmer_shannon_index
+            from simka_tpu.ops.kmers import kmer_shannon_index_words
 
             keep_sh = (
-                kmer_shannon_index(words[0], words[1], k)
+                kmer_shannon_index_words(words, k)
                 >= min_kmer_shannon_index
             )
             words = tuple(

@@ -48,6 +48,76 @@ def oracle_counts(seqs, k):
     return counts
 
 
+def _window_shannon(bases):
+    n = len(bases)
+    h = 0.0
+    for b in range(4):
+        f = bases.count(b) / n
+        if f > 0:
+            h += f * math.log2(f)
+    return abs(h)
+
+
+def test_k63_kmer_shannon_filter():
+    """-kmer-shannon-index at k = 63 (multi-word values; the k <= 31
+    limitation was lifted in round 4). Oracle: per-window base-entropy
+    filter on the python recount -- entropy is invariant under
+    complement so canonicalization does not change it."""
+    k, thr = 63, 1.5
+    rng = np.random.default_rng(7)
+    reads = []
+    for _ in range(40):
+        # half low-complexity (AC-repeat dominated), half random, so
+        # the filter genuinely splits the windows
+        if rng.random() < 0.5:
+            base = b"AC" * 40 + bytes(
+                rng.choice(np.frombuffer(b"ACGT", np.uint8), size=10)
+            )
+            reads.append(base)
+        else:
+            reads.append(
+                bytes(
+                    rng.choice(np.frombuffer(b"ACGT", np.uint8), size=90)
+                )
+            )
+    seqs = [reads, reads[::2]]
+    config = SimkaConfig(
+        kmer_size=k,
+        abundance_min=1,
+        min_kmer_shannon_index=thr,
+        verbose=False,
+        n_shards=1,
+    )
+    stats = compute_statistics(seqs, ["A", "B"], config)
+
+    def oracle(sample):
+        counts = collections.Counter()
+        for s in sample:
+            bases = [CODE.get(b) for b in s]
+            for i in range(len(bases) - k + 1):
+                win = bases[i : i + k]
+                if any(b is None for b in win):
+                    continue
+                if _window_shannon(win) < thr:
+                    continue
+                fwd = 0
+                for b in win:
+                    fwd = fwd * 4 + b
+                rc = 0
+                for b in reversed(win):
+                    rc = rc * 4 + COMP[b]
+                counts[min(fwd, rc)] += 1
+        return counts
+
+    per_sample = [oracle(s) for s in seqs]
+    assert 0 < len(per_sample[0]) < sum(
+        max(len(s) - k + 1, 0) for s in seqs[0]
+    ), "filter must drop some but not all windows"
+    for i, f in enumerate(per_sample):
+        assert int(stats.distinct_per_bank[i]) == len(f), i
+        assert int(stats.solid_per_bank[i]) == sum(f.values()), i
+
+
 @pytest.mark.parametrize("k", [33, 41, 63, 64, 75])
 def test_k_gt_31_pipeline(k):
     # 63/64 cross the 4-word boundary (2k == 128 is the "2k % 32 == 0"
