@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from simka_tpu.ops.countjoin import count_join_stats, pallas_pairs_env
+from simka_tpu.ops.countjoin import count_join_stats
 
 
 def bench_n(n_banks: int, E: int = 1 << 23, iters: int = 3) -> float:
@@ -36,7 +36,6 @@ def bench_n(n_banks: int, E: int = 1 << 23, iters: int = 3) -> float:
         count_join_stats,
         n_banks=n_banks,
         hi_bits=10,
-        pallas_pairs=pallas_pairs_env(),
     )
 
     @jax.jit

@@ -26,7 +26,7 @@ from simka_tpu.io.bank import (
     read_dataset,
 )
 from simka_tpu.io.dsl import Dataset, check_input_validity, parse_input_file
-from simka_tpu.ops.countjoin import count_join_stats, pallas_pairs_env
+from simka_tpu.ops.countjoin import count_join_stats
 from simka_tpu.ops.kmers import (
     extract_canonical_kmers,
     extract_canonical_kmers_multi,
@@ -243,7 +243,6 @@ def _compute_statistics_host_routed(
         simple=config.simple_dist,
         complex_=config.complex_dist,
         hi_bits=max(0, 2 * k - 32) if k <= 31 else 32,
-        pallas_pairs=pallas_pairs_env(),
     )
     return SimkaStatistics.from_join_stats(
         js,
@@ -382,7 +381,6 @@ def _compute_statistics_sharded_device(
         simple=config.simple_dist,
         complex_=config.complex_dist,
         hi_bits=max(0, 2 * k - 32) if k <= 31 else 32,
-        pallas_pairs=pallas_pairs_env(),
         sid_replicated=True,
     )
     return SimkaStatistics.from_join_stats(
@@ -548,7 +546,6 @@ def _compute_statistics_device(
         # k <= 31 kmers have exactly max(0, 2k-32) payload bits in hi:
         # enables the packed single-u64-key sort fast path
         hi_bits=max(0, 2 * k - 32) if k <= 31 else 32,
-        pallas_pairs=pallas_pairs_env(),
     )
     if observer is not None and hists:
         total = hists[0]
@@ -646,7 +643,6 @@ def compute_statistics_from_spectra(
                 if config.kmer_size <= 31
                 else 32
             ),
-            pallas_pairs=pallas_pairs_env(),
         )
     return SimkaStatistics.from_join_stats(
         js,

@@ -58,31 +58,6 @@ from simka_tpu.ops.kmers import SENTINEL
 
 LOG2 = 0.6931471805599453
 
-# Chip measurements (scripts/profiling/bench_large_n.py, E=2^23,
-# v5e, round 3): pair-bin triangle einsum 113M k/s at N=8 / 98M at
-# N=16; the 4-pass per-shift einsum loop 70M at N=32 / 50M at N=64;
-# the Pallas pair kernel 5.9M at N=32 -- it pays N-1 shift passes of
-# VPU operand rebuilding per panel while the einsum loop stops at the
-# RUNTIME d_max (small on real spectra: most k-mers appear in few
-# samples). The einsum paths therefore stay the default at every N;
-# the kernel remains behind SIMKA_TPU_PALLAS_PAIRS=1 for the
-# dense-segment regime its O(E) HBM traffic was designed for.
-PALLAS_AUTO_MIN_BANKS = 1 << 30
-
-
-def pallas_pairs_env():
-    """Tri-state SIMKA_TPU_PALLAS_PAIRS: '1' force on, '0' force off,
-    unset -> None = auto (Pallas for wide N on TPU)."""
-    import os
-
-    v = os.environ.get("SIMKA_TPU_PALLAS_PAIRS")
-    if v == "1":
-        return True
-    if v == "0":
-        return False
-    return None
-
-
 class JoinStats(NamedTuple):
     """Raw sufficient statistics, all order-independent reductions.
 
@@ -235,7 +210,6 @@ def _pair_bin_float(oh_a, oh_b, values_f64):
         "vary_axes",
         "psum_axis",
         "hi_bits",
-        "pallas_pairs",
     ),
 )
 def count_join_stats(
@@ -252,7 +226,6 @@ def count_join_stats(
     vary_axes: tuple = (),
     psum_axis: str = "",
     hi_bits: int = 32,
-    pallas_pairs=None,
 ) -> JoinStats:
     """Compute all distance sufficient statistics for one k-mer shard.
 
@@ -337,7 +310,6 @@ def count_join_stats(
             count_bits=count_bits,
             vary_axes=vary_axes,
             psum_axis=psum_axis,
-            pallas_pairs=pallas_pairs,
         )
 
     # ---- pass 1: group (kmer, sample) -> per-sample counts ----
@@ -373,7 +345,6 @@ def count_join_stats(
         count_bits=count_bits,
         vary_axes=vary_axes,
         psum_axis=psum_axis,
-        pallas_pairs=pallas_pairs,
     )
 
 
@@ -387,7 +358,6 @@ def count_join_stats(
         "vary_axes",
         "psum_axis",
         "hi_bits",
-        "pallas_pairs",
     ),
 )
 def join_stats_from_spectra(
@@ -405,7 +375,6 @@ def join_stats_from_spectra(
     vary_axes: tuple = (),
     psum_axis: str = "",
     hi_bits: int = 32,
-    pallas_pairs=None,
 ) -> JoinStats:
     """Statistics from pre-counted per-sample spectra.
 
@@ -466,7 +435,6 @@ def join_stats_from_spectra(
             count_bits=count_bits,
             vary_axes=vary_axes,
             psum_axis=psum_axis,
-            pallas_pairs=pallas_pairs,
         )
     words = (jnp.where(dropped, SENTINEL, words[0]), *words[1:])
     sorted_ = jax.lax.sort((*words, sid, counts), num_keys=nw + 1)
@@ -487,7 +455,6 @@ def join_stats_from_spectra(
         count_bits=count_bits,
         vary_axes=vary_axes,
         psum_axis=psum_axis,
-        pallas_pairs=pallas_pairs,
     )
 
 
@@ -505,7 +472,6 @@ def _stats_from_rows(
     psum_axis: str,
     rows_compacted: bool = False,
     solid_override=None,
-    pallas_pairs=None,
 ) -> JoinStats:
     """Shared pass 2+3 over (kmer, sample, count) rows with validity.
 
@@ -584,57 +550,6 @@ def _stats_from_rows(
     n_shared = jnp.sum(newk & (seg_len >= 2)).astype(jnp.int64)
 
     max_cnt = jnp.max(jnp.where(kept2, cnt2, 0)).astype(jnp.int64)
-    if pallas_pairs is None:
-        # auto: the Pallas kernel's HBM traffic is O(E) vs the shift
-        # loop's O(E * d_max); at N <= 16 the one-pass triangle
-        # pair-bin einsum wins, beyond it the kernel does
-        pallas_pairs = (
-            N >= PALLAS_AUTO_MIN_BANKS
-            and jax.default_backend() == "tpu"
-        )
-    if (
-        pallas_pairs
-        and not simple
-        and not complex_
-        and not psum_axis
-        and not vary_axes
-        and 2 <= N <= 127
-    ):
-        # fused Pallas pair kernel (ops/pairstats.py): one pass over
-        # the compacted rows, one-hots live only in VMEM. Equivalent
-        # to the einsum path by tests/test_pairstats.py; auto-selected
-        # for wide N, forced either way via SIMKA_TPU_PALLAS_PAIRS
-        # (measured slower at N=8 on v5e -- the shift einsums win
-        # there -- but its HBM traffic is O(E) instead of O(E*N), the
-        # regime of very wide sample sets).
-        from simka_tpu.ops.pairstats import pair_stats_default
-
-        res = pair_stats_default(
-            jnp.where(kept2, seg, -1),
-            jnp.where(kept2, sid2, 0),
-            cnt2,
-            n_banks=N,
-            count_bits=count_bits,
-            interpret=jax.default_backend() != "tpu",
-        )
-        zero_f = jnp.zeros((N, N), jnp.float64)
-        zero_i = jnp.zeros((N, N), jnp.int64)
-        return JoinStats(
-            nb_distinct=n_distinct,
-            nb_shared=n_shared,
-            distinct_per_bank=distinct_per_bank,
-            solid_per_bank=solid_per_bank,
-            chord_n2_per_bank=chord_n2_per_bank,
-            shared_kmers_ab=res["shared_kmers_ab"],
-            shared_kmers_ba=res["shared_kmers_ba"],
-            shared_distinct=res["shared_distinct"],
-            bray_numerator=res["bray"],
-            chord_ninj=zero_f,
-            hellinger=zero_i,
-            whittaker=zero_i,
-            kullback_leibler=zero_f,
-            max_count=max_cnt,
-        )
 
     # ---- pass 3: shift-pair accumulation ----
     # Default channels at N(N-1)/2 <= 128 take the PAIR-BIN path: one

@@ -116,7 +116,6 @@ def sharded_count_join_stats(
     simple: bool = False,
     complex_: bool = False,
     hi_bits: int = 32,
-    pallas_pairs=None,
     sid_replicated: bool = False,
 ) -> JoinStats:
     """Run the fused count/join on every shard and psum-reduce.
@@ -162,7 +161,6 @@ def sharded_count_join_stats(
             vary_axes=("shards",),
             psum_axis="shards",
             hi_bits=hi_bits,
-            pallas_pairs=pallas_pairs,
         )
 
     return step(
