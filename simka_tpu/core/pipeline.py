@@ -26,7 +26,11 @@ from simka_tpu.io.bank import (
     read_dataset,
 )
 from simka_tpu.io.dsl import Dataset, check_input_validity, parse_input_file
-from simka_tpu.ops.countjoin import count_join_stats
+from simka_tpu.ops.countjoin import (
+    count_join_stats,
+    count_join_stats_split,
+    use_split_join,
+)
 from simka_tpu.ops.kmers import (
     extract_canonical_kmers,
     extract_canonical_kmers_multi,
@@ -229,11 +233,17 @@ def _compute_statistics_host_routed(
         make_mesh,
         shard_instances_by_hash,
         sharded_count_join_stats,
+        sharded_count_join_stats_split,
     )
 
     mesh = make_mesh(n_shards)
     words_sh, sid_sh = shard_instances_by_hash(words, sid, n_shards)
-    js = sharded_count_join_stats(
+    join = (
+        sharded_count_join_stats_split
+        if use_split_join(len(dataset_ids))
+        else sharded_count_join_stats
+    )
+    js = join(
         words_sh,
         sid_sh,
         config.abundance_min,
@@ -371,7 +381,12 @@ def _compute_statistics_sharded_device(
     )
     sid_rep = jax.device_put(sid_row, replicated)
 
-    js = sharded_count_join_stats(
+    join = (
+        sharded_count_join_stats_split
+        if use_split_join(len(dataset_ids))
+        else sharded_count_join_stats
+    )
+    js = join(
         tuple(word_cols),
         sid_rep,
         config.abundance_min,
@@ -534,7 +549,12 @@ def _compute_statistics_device(
         sid_cols.append(jnp.zeros((pad,), jnp.int32))
     sid = jnp.concatenate(sid_cols)
 
-    js = count_join_stats(
+    join = (
+        count_join_stats_split
+        if use_split_join(len(dataset_ids))
+        else count_join_stats
+    )
+    js = join(
         tuple(word_cols[:-1]),
         word_cols[-1],
         sid,
@@ -599,24 +619,47 @@ def compute_statistics_from_spectra(
             make_mesh,
             shard_rows_by_hash,
             sharded_join_from_spectra,
+            sharded_join_from_spectra_split,
         )
 
         mesh = make_mesh(n_shards)
         ws, ss, cs = shard_rows_by_hash(words, sid, counts, n_shards)
-        js = sharded_join_from_spectra(
-            ws,
-            ss,
-            cs,
-            config.abundance_min,
-            config.abundance_max,
-            mesh=mesh,
-            n_banks=len(dataset_ids),
-            simple=config.simple_dist,
-            complex_=config.complex_dist,
-            count_bits=count_bits,
-        )
+        if use_split_join(len(dataset_ids)):
+            js = sharded_join_from_spectra_split(
+                ws,
+                ss,
+                cs,
+                config.abundance_min,
+                config.abundance_max,
+                mesh=mesh,
+                n_banks=len(dataset_ids),
+                simple=config.simple_dist,
+                complex_=config.complex_dist,
+                count_bits=count_bits,
+                hi_bits=(
+                    max(0, 2 * config.kmer_size - 32)
+                    if config.kmer_size <= 31
+                    else 32
+                ),
+            )
+        else:
+            js = sharded_join_from_spectra(
+                ws,
+                ss,
+                cs,
+                config.abundance_min,
+                config.abundance_max,
+                mesh=mesh,
+                n_banks=len(dataset_ids),
+                simple=config.simple_dist,
+                complex_=config.complex_dist,
+                count_bits=count_bits,
+            )
     else:
-        from simka_tpu.ops.countjoin import join_stats_from_spectra
+        from simka_tpu.ops.countjoin import (
+            join_stats_from_spectra,
+            join_stats_from_spectra_split,
+        )
 
         E = max(len(words[0]), 1)
         target = 1 << max(10, (E - 1).bit_length())
@@ -628,7 +671,12 @@ def compute_statistics_from_spectra(
             )
             sid = np.concatenate([sid, np.zeros(pad, np.int32)])
             counts = np.concatenate([counts, np.zeros(pad, np.int32)])
-        js = join_stats_from_spectra(
+        join = (
+            join_stats_from_spectra_split
+            if use_split_join(len(dataset_ids))
+            else join_stats_from_spectra
+        )
+        js = join(
             tuple(jnp.asarray(w) for w in words),
             jnp.asarray(sid),
             jnp.asarray(counts),

@@ -28,7 +28,12 @@ from typing import List, Sequence, Tuple
 import jax
 import numpy as np
 
-from simka_tpu.ops.countjoin import JoinStats, join_stats_from_spectra
+from simka_tpu.ops.countjoin import (
+    JoinStats,
+    join_stats_from_spectra,
+    join_stats_from_spectra_split,
+    use_split_join,
+)
 from simka_tpu.parallel.sharded import _mix_hash_np
 
 SENTINEL32 = np.uint32(0xFFFFFFFF)
@@ -148,7 +153,12 @@ def sweep_join_stats(
             counts = np.concatenate([counts, np.zeros(pad, np.int32)])
         max_count = int(counts.max()) if len(counts) else 1
         count_bits = min(32, max(11, max_count.bit_length()))
-        js = join_stats_from_spectra(
+        join = (
+            join_stats_from_spectra_split
+            if use_split_join(n_samples)
+            else join_stats_from_spectra
+        )
+        js = join(
             tuple(jnp.asarray(w) for w in words),
             jnp.asarray(sid),
             jnp.asarray(counts),

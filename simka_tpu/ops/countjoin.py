@@ -58,6 +58,37 @@ from simka_tpu.ops.kmers import SENTINEL
 
 LOG2 = 0.6931471805599453
 
+# Widest N the triangle pair-bin path auto-selects for. The path
+# generalizes to ceil(N(N-1)/2 / 128) one-hot blocks per shift, which
+# on pass count should beat the 4-pass per-shift loop up to N = 32 --
+# but the round-4 chip A/B (scripts/profiling/bench_pairbin_threshold
+# .py, E=2^23, v5e) measured the multi-block regime LOSING across the
+# band: N=20 65.0 vs 76.7, N=24 46.8 vs 76.8, N=32 35.6 vs 69.2
+# M k-mers/s (identical checksums). Only the single-block regime
+# (tri <= 128 lanes) wins, so the threshold stays at 16.
+PAIRBIN_MAX_BANKS = 16
+
+# Auto threshold for the singleton-prune program split (see Prejoin):
+# the prune pays a second compaction + one host sync to shrink every
+# pair-pass operand, so it wins where the pair stage dominates -- the
+# wide-N per-shift-loop regime -- and loses at small N (round-3
+# analysis: N=8 would spend ~28ms compacting to save ~9ms). Set from
+# the round-4 chip measurement (scripts/profiling/bench_split_join.py).
+SPLIT_MIN_BANKS = 33
+
+
+def use_split_join(n_banks: int):
+    """Tri-state SIMKA_TPU_SPLIT_JOIN: '1' force on, '0' force off,
+    unset -> auto by sample count."""
+    import os
+
+    v = os.environ.get("SIMKA_TPU_SPLIT_JOIN")
+    if v == "1":
+        return True
+    if v == "0":
+        return False
+    return n_banks >= SPLIT_MIN_BANKS
+
 class JoinStats(NamedTuple):
     """Raw sufficient statistics, all order-independent reductions.
 
@@ -253,6 +284,33 @@ def count_join_stats(
         and the 4-column compaction into 3 -- measured ~20% off the
         dominant sort+compact stages.
     """
+    rows = _rows_from_instances(
+        hi, lo, sid, abundance_min, abundance_max,
+        n_banks=n_banks, hi_bits=hi_bits, vary_axes=vary_axes,
+    )
+    return _stats_from_rows(
+        *rows[:4],
+        rows_compacted=rows[4],
+        n_banks=n_banks,
+        simple=simple,
+        complex_=complex_,
+        count_bits=count_bits,
+        vary_axes=vary_axes,
+        psum_axis=psum_axis,
+    )
+
+
+def _rows_from_instances(
+    hi, lo, sid, abundance_min, abundance_max,
+    *, n_banks: int, hi_bits: int, vary_axes: tuple,
+):
+    """Sort + run-length count + abundance-filter one instance shard.
+
+    Returns (words, sid, count, kept, rows_compacted): one row per
+    (k-mer, sample) with its count, kept=True at surviving rows.
+    ``rows_compacted`` (static) promises kept rows are contiguous at
+    the front in (kmer, sample)-ascending order.
+    """
     words = (tuple(hi) if isinstance(hi, (tuple, list)) else (hi,)) + (
         lo,
     )
@@ -298,18 +356,12 @@ def count_join_stats(
         val = key_c >> sbits
         hi2 = jnp.where(kept2, (val >> 32).astype(jnp.uint32), SENTINEL)
         lo2 = jnp.where(kept2, val.astype(jnp.uint32), SENTINEL)
-        return _stats_from_rows(
+        return (
             (hi2, lo2),
             jnp.where(kept2, sid2, 0),
             cnt_c,
             kept2,
-            rows_compacted=True,
-            n_banks=n_banks,
-            simple=simple,
-            complex_=complex_,
-            count_bits=count_bits,
-            vary_axes=vary_axes,
-            psum_axis=psum_axis,
+            True,
         )
 
     # ---- pass 1: group (kmer, sample) -> per-sample counts ----
@@ -334,18 +386,7 @@ def count_join_stats(
         & (count >= abundance_min)
         & (count <= abundance_max)
     )
-    return _stats_from_rows(
-        words,
-        sid,
-        count,
-        kept,
-        n_banks=n_banks,
-        simple=simple,
-        complex_=complex_,
-        count_bits=count_bits,
-        vary_axes=vary_axes,
-        psum_axis=psum_axis,
-    )
+    return (words, sid, count, kept, False)
 
 
 @functools.partial(
@@ -391,13 +432,38 @@ def join_stats_from_spectra(
     only sees one hash range of the k-mer space (the out-of-core
     sweep, core/sweep.py), the caller must inject the global totals.
     """
+    rows = _rows_from_spectra(
+        words, sid, counts, abundance_min, abundance_max,
+        n_banks=n_banks, hi_bits=hi_bits,
+    )
+    return _stats_from_rows(
+        *rows[:4],
+        rows_compacted=True,
+        solid_override=solid_override,
+        n_banks=n_banks,
+        simple=simple,
+        complex_=complex_,
+        count_bits=count_bits,
+        vary_axes=vary_axes,
+        psum_axis=psum_axis,
+    )
+
+
+def _rows_from_spectra(
+    words, sid, counts, abundance_min, abundance_max,
+    *, n_banks: int, hi_bits: int,
+):
+    """Sort + abundance-filter pre-counted spectrum rows.
+
+    The abundance filter depends only on the row itself here, so
+    masking dropped rows to SENTINEL *before* the sort folds the
+    compaction into it: kept rows come out contiguous, (kmer,
+    sample)-ascending (sid is a key -> the a < b pair invariant),
+    and no second pass is needed. Returns (words, sid, counts, kept)
+    with kept rows compacted at the front.
+    """
     words = tuple(words)
     nw = len(words)
-    # The abundance filter depends only on the row itself here, so
-    # masking dropped rows to SENTINEL *before* the sort folds the
-    # compaction into it: kept rows come out contiguous, (kmer,
-    # sample)-ascending (sid is a key -> the a < b pair invariant),
-    # and no second pass is needed.
     dropped = (counts < abundance_min) | (counts > abundance_max)
     sbits = max(1, (n_banks - 1).bit_length())
     if nw == 2 and 32 + hi_bits + sbits <= 63:
@@ -422,40 +488,357 @@ def join_stats_from_spectra(
             jnp.where(kept, (val >> 32).astype(jnp.uint32), SENTINEL),
             jnp.where(kept, val.astype(jnp.uint32), SENTINEL),
         )
-        return _stats_from_rows(
-            words,
-            sid,
-            counts,
-            kept,
-            rows_compacted=True,
-            solid_override=solid_override,
-            n_banks=n_banks,
-            simple=simple,
-            complex_=complex_,
-            count_bits=count_bits,
-            vary_axes=vary_axes,
-            psum_axis=psum_axis,
-        )
+        return words, sid, counts, kept
     words = (jnp.where(dropped, SENTINEL, words[0]), *words[1:])
     sorted_ = jax.lax.sort((*words, sid, counts), num_keys=nw + 1)
     words = sorted_[:nw]
     sid = sorted_[nw]
     counts = sorted_[nw + 1]
     kept = words[0] != SENTINEL
-    return _stats_from_rows(
-        words,
-        sid,
-        counts,
-        kept,
+    return words, sid, counts, kept
+
+
+class Prejoin(NamedTuple):
+    """Program-A output of the singleton-pruned two-program join.
+
+    The reference's merge NEVER pays pair-loop work for k-mers present
+    in only one bank: `insert` calls the pair processor only when
+    nbBankThatHaveKmer > 1 (src/SimkaMerge.cpp:1317-1325). With XLA's
+    static shapes, pruning only pays if the array SHRINKS, which
+    forces a program split: program A (this) sorts, counts, filters,
+    compacts and drops singleton segments, returning the exact kept
+    count; the host re-pads to a size class and program B
+    (pair_stats_shared) runs the pair loop on the smaller stream.
+    Correct for EVERY channel: a single-row segment generates no
+    (a, b) pair at any shift offset, and the single-presence terms of
+    the complex distances are closed forms over the global totals
+    carried here (see the module docstring).
+    """
+
+    words_shared: tuple  # of [E] uint32, shared rows compacted front
+    sid_shared: jnp.ndarray  # [E] i32 (0 at padding)
+    cnt_shared: jnp.ndarray  # [E] i32 (0 at padding)
+    n_rows_shared: jnp.ndarray  # i32 scalar (per shard under shard_map)
+    nb_distinct: jnp.ndarray
+    nb_shared: jnp.ndarray
+    distinct_per_bank: jnp.ndarray
+    solid_per_bank: jnp.ndarray
+    chord_n2_per_bank: jnp.ndarray
+    max_count: jnp.ndarray
+
+
+def _prejoin_from_rows(
+    words,
+    sid,
+    count,
+    kept,
+    *,
+    n_banks: int,
+    vary_axes: tuple,
+    psum_axis: str,
+    rows_compacted: bool,
+) -> Prejoin:
+    """Totals + compaction + singleton-segment drop (program A)."""
+    nw = len(words)
+    N = n_banks
+    count = count.astype(jnp.int32)
+    count64 = count.astype(jnp.int64)
+    sid_clip = jnp.where(kept, sid, N)
+    distinct_per_bank = binned_sum(
+        jnp.where(kept, 1, 0).astype(jnp.int64), sid_clip, N, bits=33
+    )
+    solid_per_bank = binned_sum(
+        jnp.where(kept, count64, 0), sid_clip, N, bits=44
+    )
+    chord_n2_per_bank = binned_sum(
+        jnp.where(kept, count64 * count64, 0), sid_clip, N, bits=63
+    )
+    if psum_axis:
+        distinct_per_bank = jax.lax.psum(distinct_per_bank, psum_axis)
+        solid_per_bank = jax.lax.psum(solid_per_bank, psum_axis)
+        chord_n2_per_bank = jax.lax.psum(chord_n2_per_bank, psum_axis)
+
+    if rows_compacted:
+        words2, sid2, cnt2 = words, sid, count
+    else:
+        compacted = compact_rows(
+            (*words, sid, count),
+            kept,
+            fills=(SENTINEL,) * nw + (0, 0),
+            vary_axes=vary_axes,
+        )
+        words2 = compacted[:nw]
+        sid2 = compacted[nw]
+        cnt2 = compacted[nw + 1]
+    kept2 = words2[0] != SENTINEL
+    _, _, _, _, n_distinct, n_shared = _segment_rows(words2, kept2)
+    max_cnt = jnp.max(jnp.where(kept2, cnt2, 0)).astype(jnp.int64)
+
+    # a row is in a multi-row segment iff an adjacent row holds the
+    # same k-mer (rows are kmer-grouped after compaction; padding rows
+    # are excluded by kept2 even though SENTINEL == SENTINEL)
+    same_next = kept2[1:] & kept2[:-1]
+    for w in words2:
+        same_next = same_next & (w[1:] == w[:-1])
+    false1 = jnp.zeros((1,), jnp.bool_)
+    shared_row = kept2 & (
+        jnp.concatenate([false1, same_next])
+        | jnp.concatenate([same_next, false1])
+    )
+    comp2 = compact_rows(
+        (*words2, sid2, cnt2),
+        shared_row,
+        fills=(SENTINEL,) * nw + (0, 0),
+        vary_axes=vary_axes,
+    )
+    n_rows = jnp.sum(shared_row.astype(jnp.int32))
+
+    if psum_axis:
+        n_distinct = jax.lax.psum(n_distinct, psum_axis)
+        n_shared = jax.lax.psum(n_shared, psum_axis)
+        max_cnt = jax.lax.pmax(max_cnt, psum_axis)
+    return Prejoin(
+        words_shared=comp2[:nw],
+        sid_shared=comp2[nw],
+        cnt_shared=comp2[nw + 1],
+        n_rows_shared=n_rows,
+        nb_distinct=n_distinct,
+        nb_shared=n_shared,
+        distinct_per_bank=distinct_per_bank,
+        solid_per_bank=solid_per_bank,
+        chord_n2_per_bank=chord_n2_per_bank,
+        max_count=max_cnt,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_banks", "hi_bits", "vary_axes", "psum_axis"),
+)
+def count_join_prejoin(
+    hi,
+    lo,
+    sid,
+    abundance_min,
+    abundance_max,
+    *,
+    n_banks: int,
+    hi_bits: int = 32,
+    vary_axes: tuple = (),
+    psum_axis: str = "",
+) -> Prejoin:
+    """Program A over raw k-mer instances (args as count_join_stats)."""
+    rows = _rows_from_instances(
+        hi, lo, sid, abundance_min, abundance_max,
+        n_banks=n_banks, hi_bits=hi_bits, vary_axes=vary_axes,
+    )
+    return _prejoin_from_rows(
+        *rows[:4],
+        rows_compacted=rows[4],
+        n_banks=n_banks,
+        vary_axes=vary_axes,
+        psum_axis=psum_axis,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_banks", "hi_bits", "vary_axes", "psum_axis"),
+)
+def join_spectra_prejoin(
+    words,
+    sid,
+    counts,
+    abundance_min,
+    abundance_max,
+    *,
+    n_banks: int,
+    hi_bits: int = 32,
+    vary_axes: tuple = (),
+    psum_axis: str = "",
+) -> Prejoin:
+    """Program A over pre-counted spectrum rows (args as
+    join_stats_from_spectra)."""
+    rows = _rows_from_spectra(
+        words, sid, counts, abundance_min, abundance_max,
+        n_banks=n_banks, hi_bits=hi_bits,
+    )
+    return _prejoin_from_rows(
+        *rows,
         rows_compacted=True,
-        solid_override=solid_override,
+        n_banks=n_banks,
+        vary_axes=vary_axes,
+        psum_axis=psum_axis,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_banks",
+        "simple",
+        "complex_",
+        "count_bits",
+        "vary_axes",
+        "psum_axis",
+    ),
+)
+def pair_stats_shared(
+    words,
+    sid,
+    cnt,
+    solid_global,
+    max_count,
+    *,
+    n_banks: int,
+    simple: bool = False,
+    complex_: bool = False,
+    count_bits: int = 32,
+    vary_axes: tuple = (),
+    psum_axis: str = "",
+):
+    """Program B: the pair pass over a shared-only compacted stream.
+
+    ``words``/``sid``/``cnt`` are the (host-resized) Prejoin outputs;
+    ``solid_global`` the GLOBAL per-bank solid totals (the reference's
+    count_synchro metadata, SimkaDistance.cpp:114-152) and
+    ``max_count`` the global max per-(kmer, bank) count (drives the
+    runtime limb level). Returns the acc dict of pair matrices.
+    """
+    words = tuple(words)
+    kept2 = words[0] != SENTINEL
+    seg_e, _, _, d_max, _, _ = _segment_rows(words, kept2)
+    acc = _pair_accumulate(
+        seg_e,
+        sid,
+        cnt.astype(jnp.int32),
+        kept2,
+        d_max,
+        max_count,
+        solid_global,
         n_banks=n_banks,
         simple=simple,
         complex_=complex_,
         count_bits=count_bits,
         vary_axes=vary_axes,
-        psum_axis=psum_axis,
     )
+    if psum_axis:
+        acc = {
+            k: jax.lax.psum(v, psum_axis) for k, v in acc.items()
+        }
+    return acc
+
+
+def _join_stats_from_split(pre: Prejoin, acc) -> JoinStats:
+    return JoinStats(
+        nb_distinct=pre.nb_distinct,
+        nb_shared=pre.nb_shared,
+        distinct_per_bank=pre.distinct_per_bank,
+        solid_per_bank=pre.solid_per_bank,
+        chord_n2_per_bank=pre.chord_n2_per_bank,
+        shared_kmers_ab=acc["shared_kmers_ab"],
+        shared_kmers_ba=acc["shared_kmers_ba"],
+        shared_distinct=acc["shared_distinct"],
+        bray_numerator=acc["bray"],
+        chord_ninj=acc["chord"],
+        hellinger=acc["hellinger"],
+        whittaker=acc["whittaker"],
+        kullback_leibler=acc["kl"],
+        max_count=pre.max_count,
+    )
+
+
+def shared_size_class(n_rows: int, E: int) -> int:
+    """Static program-B length for a shared-row count (power-of-two
+    classes bound recompiles; never above the program-A length)."""
+    t = 1 << max(10, (max(int(n_rows), 1) - 1).bit_length())
+    return min(t, E)
+
+
+def count_join_stats_split(
+    hi,
+    lo,
+    sid,
+    abundance_min,
+    abundance_max,
+    *,
+    n_banks: int,
+    simple: bool = False,
+    complex_: bool = False,
+    count_bits: int = 32,
+    hi_bits: int = 32,
+) -> JoinStats:
+    """Two-program singleton-pruned join (single device).
+
+    Equivalent to count_join_stats bit-for-bit; pays one host sync of
+    the shared-row count plus a second compaction to shrink the pair
+    pass to the shared rows only -- the reference's
+    `nbBankThatHaveKmer > 1` insert gate (SimkaMerge.cpp:1317-1325).
+    Wins when the pair stage dominates (wide N) and singleton
+    fractions are high (50-80% on real metagenomes).
+    """
+    pre = count_join_prejoin(
+        hi, lo, sid, abundance_min, abundance_max,
+        n_banks=n_banks, hi_bits=hi_bits,
+    )
+    import numpy as np
+
+    E = pre.sid_shared.shape[0]
+    E2 = shared_size_class(int(np.asarray(pre.n_rows_shared)), E)
+    acc = pair_stats_shared(
+        tuple(w[:E2] for w in pre.words_shared),
+        pre.sid_shared[:E2],
+        pre.cnt_shared[:E2],
+        pre.solid_per_bank,
+        pre.max_count,
+        n_banks=n_banks,
+        simple=simple,
+        complex_=complex_,
+        count_bits=count_bits,
+    )
+    return _join_stats_from_split(pre, acc)
+
+
+def join_stats_from_spectra_split(
+    words,
+    sid,
+    counts,
+    abundance_min,
+    abundance_max,
+    solid_override=None,
+    *,
+    n_banks: int,
+    simple: bool = False,
+    complex_: bool = False,
+    count_bits: int = 32,
+    hi_bits: int = 32,
+) -> JoinStats:
+    """Two-program singleton-pruned join over spectrum rows."""
+    pre = join_spectra_prejoin(
+        words, sid, counts, abundance_min, abundance_max,
+        n_banks=n_banks, hi_bits=hi_bits,
+    )
+    import numpy as np
+
+    E = pre.sid_shared.shape[0]
+    E2 = shared_size_class(int(np.asarray(pre.n_rows_shared)), E)
+    K = (
+        pre.solid_per_bank
+        if solid_override is None
+        else solid_override
+    )
+    acc = pair_stats_shared(
+        tuple(w[:E2] for w in pre.words_shared),
+        pre.sid_shared[:E2],
+        pre.cnt_shared[:E2],
+        K,
+        pre.max_count,
+        n_banks=n_banks,
+        simple=simple,
+        complex_=complex_,
+        count_bits=count_bits,
+    )
+    return _join_stats_from_split(pre, acc)
 
 
 def _stats_from_rows(
@@ -529,6 +912,50 @@ def _stats_from_rows(
         sid2 = compacted[nw]
         cnt2 = compacted[nw + 1]
     kept2 = words2[0] != SENTINEL
+    seg_e, newk, seg_len, d_max, n_distinct, n_shared = _segment_rows(
+        words2, kept2
+    )
+    max_cnt = jnp.max(jnp.where(kept2, cnt2, 0)).astype(jnp.int64)
+
+    # global totals feeding the Whittaker/KL pair terms; a sweep over
+    # hash ranges must inject the whole-space totals here
+    K = solid_per_bank if solid_override is None else solid_override
+    acc = _pair_accumulate(
+        seg_e,
+        sid2,
+        cnt2,
+        kept2,
+        d_max,
+        max_cnt,
+        K,
+        n_banks=N,
+        simple=simple,
+        complex_=complex_,
+        count_bits=count_bits,
+        vary_axes=vary_axes,
+    )
+    return _assemble_join_stats(
+        acc,
+        n_distinct,
+        n_shared,
+        distinct_per_bank,
+        solid_per_bank,
+        chord_n2_per_bank,
+        max_cnt,
+        psum_axis,
+    )
+
+
+def _segment_rows(words2, kept2):
+    """Group compacted rows into equal-k-mer segments.
+
+    Returns (seg_e, newk, seg_len, d_max, n_distinct, n_shared):
+    per-row segment id (E at padding), first-row-of-segment mask,
+    run lengths (valid at newk rows), the max segment multiplicity,
+    and the distinct / shared-distinct scalar counts.
+    """
+    E = words2[0].shape[0]
+    idx = jnp.arange(E, dtype=jnp.int32)
     changed = words2[0][1:] != words2[0][:-1]
     for w in words2[1:]:
         changed = changed | (w[1:] != w[:-1])
@@ -548,30 +975,47 @@ def _stats_from_rows(
     seg_len = jnp.minimum(seg_next, n_valid) - idx  # valid at newk rows
     d_max = jnp.max(jnp.where(newk, seg_len, 0))
     n_shared = jnp.sum(newk & (seg_len >= 2)).astype(jnp.int64)
+    return seg_e, newk, seg_len, d_max, n_distinct, n_shared
 
-    max_cnt = jnp.max(jnp.where(kept2, cnt2, 0)).astype(jnp.int64)
 
-    # ---- pass 3: shift-pair accumulation ----
-    # Default channels at N(N-1)/2 <= 128 take the PAIR-BIN path: one
-    # einsum per shift whose rhs is a one-hot over the UPPER-TRIANGLE
-    # pair bin (rows within a k-mer are sample-ascending, so every
-    # pair satisfies a < b -- the reference's own flattened symmetric
-    # index, SimkaAlgorithm.hpp:364) and whose lhs lanes carry every
-    # stat channel and every count limb at once -- 4 MXU passes per
-    # shift collapse to 1, using the lanes an [B, N] one-hot would
-    # leave idle. Triangle packing stretches the one-pass regime from
-    # N <= 11 (N*N bins) to N <= 16.
-    # Default channels at N(N-1)/2 <= 128 take the triangle pair-bin
-    # path; beyond it the 4-pass per-shift loop is the measured best
-    # (a channel-packed-lanes variant and the Pallas kernel both lost
-    # to it on chip -- ROADMAP round-3 dead ends).
+def _pair_accumulate(
+    seg_e,
+    sid2,
+    cnt2,
+    kept2,
+    d_max,
+    max_cnt,
+    K,
+    *,
+    n_banks: int,
+    simple: bool,
+    complex_: bool,
+    count_bits: int,
+    vary_axes: tuple,
+):
+    """Pass 3: accumulate every pairwise channel over shift offsets.
+
+    Returns the full acc dict (shared_kmers_ab/ba, shared_distinct,
+    bray, chord, hellinger, whittaker, kl) with zeros for channels the
+    static flags leave off. ``K``: the GLOBAL per-bank solid totals
+    consumed by the Whittaker/KL pair terms.
+    """
+    N = n_banks
+    E = seg_e.shape[0]
+    # Default channels at N <= PAIRBIN_MAX_BANKS take the PAIR-BIN
+    # path: per shift, one lhs channel stack (pair flag + count limbs)
+    # is contracted against one-hot(s) over the UPPER-TRIANGLE pair
+    # bin (rows within a k-mer are sample-ascending, so every pair
+    # satisfies a < b -- the reference's own flattened symmetric
+    # index, SimkaAlgorithm.hpp:364); bins beyond 128 split into
+    # 128-lane blocks that reuse the same lhs. Beyond the threshold
+    # the 4-pass per-shift loop is the measured best (a channel-
+    # packed-lanes variant and a Pallas kernel both lost to it on
+    # chip -- ROADMAP dead ends).
     use_packed = (
-        (not simple) and (not complex_) and N * (N - 1) // 2 <= 128
+        (not simple) and (not complex_) and N <= PAIRBIN_MAX_BANKS
     )
 
-    # global totals feeding the Whittaker/KL pair terms; a sweep over
-    # hash ranges must inject the whole-space totals here
-    K = solid_per_bank if solid_override is None else solid_override
     # max_cnt doubles as the runtime bound on every count-derived
     # einsum value: lets _pair_bin_int skip high limbs when coverage
     # is low (the common case; see its docstring)
@@ -592,22 +1036,12 @@ def _stats_from_rows(
         if vary_axes:
             zero_f = jax.lax.pcast(zero_f, vary_axes, to="varying")
             zero_i = jax.lax.pcast(zero_i, vary_axes, to="varying")
-        acc = dict(
+        return dict(
             acc,
             chord=zero_f,
             hellinger=zero_i,
             whittaker=zero_i,
             kl=zero_f,
-        )
-        return _assemble_join_stats(
-            acc,
-            n_distinct,
-            n_shared,
-            distinct_per_bank,
-            solid_per_bank,
-            chord_n2_per_bank,
-            max_cnt,
-            psum_axis,
         )
 
     # pad so a dynamic_slice at offset d (< N) never reads OOB
@@ -721,17 +1155,7 @@ def _stats_from_rows(
         acc0 = jax.tree.map(
             lambda x: jax.lax.pcast(x, vary_axes, to="varying"), acc0
         )
-    acc = jax.lax.fori_loop(1, d_max, shift_body, acc0)
-    return _assemble_join_stats(
-        acc,
-        n_distinct,
-        n_shared,
-        distinct_per_bank,
-        solid_per_bank,
-        chord_n2_per_bank,
-        max_cnt,
-        psum_axis,
-    )
+    return jax.lax.fori_loop(1, d_max, shift_body, acc0)
 
 
 def _assemble_join_stats(
@@ -868,9 +1292,7 @@ def _pairbin_pass(
                     + (sid_b - sid_m - 1)
                 )
                 pairbin = jnp.where(m, tri, NB)
-                oh = (
-                    _panels(pairbin, fill=NB)[..., None] == bin_iota
-                ).astype(jnp.float32)
+                pb = _panels(pairbin, fill=NB)
                 mn = jnp.minimum(cnt_m, cnt_b)
                 chans = [m.astype(jnp.int32)]
                 for limb in range(active_limbs):
@@ -884,12 +1306,28 @@ def _pairbin_pass(
                     [_panels(c).astype(jnp.float32) for c in chans],
                     axis=-1,
                 )
-                out = jnp.einsum(
-                    "brc,brn->bcn",
-                    ch,
-                    oh,
-                    preferred_element_type=jnp.float32,
-                ).astype(jnp.int64).sum(axis=0)
+                # bins split into <= 128-lane blocks; each block's rhs
+                # one-hot is a plain compare-vs-iota slice (the only
+                # operand form XLA keeps fused -- ROADMAP dead ends)
+                # and every block reuses the SAME lhs channel stack
+                outs = []
+                for p0 in range(0, NB, 128):
+                    oh = (
+                        pb[..., None] == bin_iota[p0 : p0 + 128]
+                    ).astype(jnp.float32)
+                    outs.append(
+                        jnp.einsum(
+                            "brc,brn->bcn",
+                            ch,
+                            oh,
+                            preferred_element_type=jnp.float32,
+                        ).astype(jnp.int64).sum(axis=0)
+                    )
+                out = (
+                    outs[0]
+                    if len(outs) == 1
+                    else jnp.concatenate(outs, axis=-1)
+                )
                 ab = ba = bray = None
                 for limb in range(active_limbs):
                     sh = 8 * limb

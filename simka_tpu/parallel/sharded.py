@@ -26,8 +26,14 @@ from jax.sharding import Mesh, PartitionSpec as P
 from simka_tpu.ops.compact import compact_rows
 from simka_tpu.ops.countjoin import (
     JoinStats,
+    Prejoin,
+    _join_stats_from_split,
+    count_join_prejoin,
     count_join_stats,
+    join_spectra_prejoin,
     join_stats_from_spectra,
+    pair_stats_shared,
+    shared_size_class,
 )
 from simka_tpu.ops.kmers import SENTINEL, extract_packed, mix_hash
 
@@ -168,6 +174,225 @@ def sharded_count_join_stats(
         jnp.asarray(sid_sh),
         jnp.asarray(abundance_min, jnp.int32),
         jnp.asarray(abundance_max, jnp.int64),
+    )
+
+
+def _sharded_split_join(
+    prejoin_step,
+    prejoin_args,
+    *,
+    mesh: Mesh,
+    n_banks: int,
+    simple: bool,
+    complex_: bool,
+    count_bits: int,
+) -> JoinStats:
+    """Shared program-B half of the sharded two-program join: size the
+    pair pass from the max per-shard shared-row count, run it under
+    shard_map with a psum, and assemble."""
+    pre = prejoin_step(*prejoin_args)
+    n_max = int(np.asarray(pre.n_rows_shared).max())
+    E = pre.sid_shared.shape[1]
+    cap = shared_size_class(n_max, E)
+
+    nw = len(pre.words_shared)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            tuple(P("shards", None) for _ in range(nw)),
+            P("shards", None),
+            P("shards", None),
+            P(),
+            P(),
+        ),
+        out_specs={
+            k: P()
+            for k in (
+                "shared_kmers_ab",
+                "shared_kmers_ba",
+                "shared_distinct",
+                "bray",
+                "chord",
+                "hellinger",
+                "whittaker",
+                "kl",
+            )
+        },
+    )
+    def pair_step(words, sid, cnt, solid, max_cnt):
+        return pair_stats_shared(
+            tuple(w[0] for w in words),
+            sid[0],
+            cnt[0],
+            solid,
+            max_cnt,
+            n_banks=n_banks,
+            simple=simple,
+            complex_=complex_,
+            count_bits=count_bits,
+            vary_axes=("shards",),
+            psum_axis="shards",
+        )
+
+    acc = pair_step(
+        tuple(w[:, :cap] for w in pre.words_shared),
+        pre.sid_shared[:, :cap],
+        pre.cnt_shared[:, :cap],
+        pre.solid_per_bank,
+        pre.max_count,
+    )
+    return _join_stats_from_split(pre, acc)
+
+
+def _prejoin_out_specs(nw: int):
+    return Prejoin(
+        words_shared=tuple(P("shards", None) for _ in range(nw)),
+        sid_shared=P("shards", None),
+        cnt_shared=P("shards", None),
+        n_rows_shared=P("shards"),
+        nb_distinct=P(),
+        nb_shared=P(),
+        distinct_per_bank=P(),
+        solid_per_bank=P(),
+        chord_n2_per_bank=P(),
+        max_count=P(),
+    )
+
+
+def sharded_count_join_stats_split(
+    words_sh,
+    sid_sh,
+    abundance_min,
+    abundance_max,
+    *,
+    mesh: Mesh,
+    n_banks: int,
+    simple: bool = False,
+    complex_: bool = False,
+    count_bits: int = 32,
+    hi_bits: int = 32,
+    sid_replicated: bool = False,
+) -> JoinStats:
+    """Singleton-pruned two-program variant of sharded_count_join_stats
+    (the reference's nbBankThatHaveKmer > 1 insert gate composed with
+    hash sharding): program A per shard drops singleton segments and
+    returns exact kept counts; the host sizes program B to the max
+    shard's shared rows; program B psum-reduces the pair matrices."""
+    words_sh = tuple(words_sh)
+    nw = len(words_sh)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            tuple(P("shards") for _ in range(nw)),
+            P() if sid_replicated else P("shards"),
+            P(),
+            P(),
+        ),
+        out_specs=_prejoin_out_specs(nw),
+    )
+    def pre_step(words, sid, amin, amax):
+        pre = count_join_prejoin(
+            tuple(w[0] for w in words[:-1]),
+            words[-1][0],
+            sid if sid_replicated else sid[0],
+            amin,
+            amax,
+            n_banks=n_banks,
+            hi_bits=hi_bits,
+            vary_axes=("shards",),
+            psum_axis="shards",
+        )
+        return pre._replace(
+            words_shared=tuple(w[None, :] for w in pre.words_shared),
+            sid_shared=pre.sid_shared[None, :],
+            cnt_shared=pre.cnt_shared[None, :],
+            n_rows_shared=pre.n_rows_shared[None],
+        )
+
+    return _sharded_split_join(
+        pre_step,
+        (
+            tuple(jnp.asarray(w) for w in words_sh),
+            jnp.asarray(sid_sh),
+            jnp.asarray(abundance_min, jnp.int32),
+            jnp.asarray(abundance_max, jnp.int64),
+        ),
+        mesh=mesh,
+        n_banks=n_banks,
+        simple=simple,
+        complex_=complex_,
+        count_bits=count_bits,
+    )
+
+
+def sharded_join_from_spectra_split(
+    words_sh,
+    sid_sh,
+    counts_sh,
+    abundance_min,
+    abundance_max,
+    *,
+    mesh: Mesh,
+    n_banks: int,
+    simple: bool = False,
+    complex_: bool = False,
+    count_bits: int = 32,
+    hi_bits: int = 32,
+) -> JoinStats:
+    """Singleton-pruned two-program variant of
+    sharded_join_from_spectra (checkpoint/resume path)."""
+    words_sh = tuple(words_sh)
+    nw = len(words_sh)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            tuple(P("shards") for _ in range(nw)),
+            P("shards"),
+            P("shards"),
+            P(),
+            P(),
+        ),
+        out_specs=_prejoin_out_specs(nw),
+    )
+    def pre_step(words, sid, counts, amin, amax):
+        pre = join_spectra_prejoin(
+            tuple(w[0] for w in words),
+            sid[0],
+            counts[0],
+            amin,
+            amax,
+            n_banks=n_banks,
+            hi_bits=hi_bits,
+            vary_axes=("shards",),
+            psum_axis="shards",
+        )
+        return pre._replace(
+            words_shared=tuple(w[None, :] for w in pre.words_shared),
+            sid_shared=pre.sid_shared[None, :],
+            cnt_shared=pre.cnt_shared[None, :],
+            n_rows_shared=pre.n_rows_shared[None],
+        )
+
+    return _sharded_split_join(
+        pre_step,
+        (
+            tuple(jnp.asarray(w) for w in words_sh),
+            jnp.asarray(sid_sh),
+            jnp.asarray(counts_sh),
+            jnp.asarray(abundance_min, jnp.int32),
+            jnp.asarray(abundance_max, jnp.int64),
+        ),
+        mesh=mesh,
+        n_banks=n_banks,
+        simple=simple,
+        complex_=complex_,
+        count_bits=count_bits,
     )
 
 

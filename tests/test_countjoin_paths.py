@@ -62,11 +62,13 @@ def test_packed_path_matches_generic(n_banks, hi_bits, amin, amax):
 
 
 @pytest.mark.parametrize(
-    "n_banks,amin", [(2, 1), (3, 1), (8, 1), (8, 2), (16, 2), (64, 1)]
+    "n_banks,amin",
+    [(2, 1), (3, 1), (8, 1), (8, 2), (16, 2), (24, 1), (32, 2), (64, 1)],
 )
 def test_pairbin_path_matches_shift_loop(n_banks, amin):
-    """Default channels take the pair-bin MXU path (N*N <= 128; the
-    larger-N cases guard the shared loop path); running with
+    """Default channels take the pair-bin MXU path (N <=
+    PAIRBIN_MAX_BANKS; 24/32 exercise the multi-block bins, the
+    larger-N case guards the shared loop path); running with
     simple+complex forces the per-shift loop, which computes the same
     default fields -- they must agree bit-for-bit."""
     rng = np.random.default_rng(7)
