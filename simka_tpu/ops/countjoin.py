@@ -72,8 +72,11 @@ PAIRBIN_MAX_BANKS = 16
 # the prune pays a second compaction + one host sync to shrink every
 # pair-pass operand, so it wins where the pair stage dominates -- the
 # wide-N per-shift-loop regime -- and loses at small N (round-3
-# analysis: N=8 would spend ~28ms compacting to save ~9ms). Set from
-# the round-4 chip measurement (scripts/profiling/bench_split_join.py).
+# analysis: N=8 would spend ~28ms compacting to save ~9ms). Round-4
+# chip A/B (scripts/profiling/bench_split_join.py, E=2^23, identical
+# checksums): N=50 1.00x at 50% singleton rows / 1.19x at 80%; N=128
+# 1.75x / 2.40x. Never measured below break-even in the loop regime,
+# so the split turns on where the loop does.
 SPLIT_MIN_BANKS = 33
 
 
