@@ -180,16 +180,30 @@ def compute_statistics(
     """
     import jax
 
+    from simka_tpu.core.budget import HBMBudgetExceeded
+
     n_shards = config.n_shards or len(jax.devices())
-    if not (n_shards > 1 and len(jax.devices()) >= n_shards):
-        return _compute_statistics_device(
-            dataset_seqs, dataset_ids, config, log=log,
+    try:
+        if not (n_shards > 1 and len(jax.devices()) >= n_shards):
+            return _compute_statistics_device(
+                dataset_seqs, dataset_ids, config, log=log,
+                observer=observer,
+            )
+        stats = _compute_statistics_sharded_device(
+            dataset_seqs, dataset_ids, config, n_shards, log=log,
             observer=observer,
         )
-    stats = _compute_statistics_sharded_device(
-        dataset_seqs, dataset_ids, config, n_shards, log=log,
-        observer=observer,
-    )
+    except HBMBudgetExceeded as e:
+        # the instance stream outgrew the HBM plan mid-ingest:
+        # restart through the out-of-core spectra sweep (inputs are
+        # re-iterable providers; wasted ingest is bounded by the
+        # budget itself)
+        if log is not None:
+            log(f"HBM budget: {e}; restarting out-of-core")
+        return _compute_statistics_out_of_core(
+            dataset_seqs, dataset_ids, config, n_shards,
+            log=log, observer=observer,
+        )
     if stats is not None:
         return stats
     # route capacity overflowed (vanishingly rare; see route_capacity)
@@ -198,6 +212,107 @@ def compute_statistics(
     # every caller passes.
     return _compute_statistics_host_routed(
         dataset_seqs, dataset_ids, config, n_shards
+    )
+
+
+def _compute_statistics_out_of_core(
+    dataset_seqs,
+    dataset_ids: List[str],
+    config: SimkaConfig,
+    n_shards: int = 1,
+    log=None,
+    observer: Optional[dict] = None,
+):
+    """Out-of-core statistics: per-sample counted spectra, hash-range
+    spill, sequential sweep -- composed with the device mesh when
+    shards are available (core/sweep.py). The reference's disk
+    architecture under any core/partition configuration
+    (SimkaPotara.hpp:617-723); here the defended resource is HBM: one
+    range's join working set fits the device plan, counting streams
+    in O(batch), and spectra live in host RAM (or on disk when
+    -out-tmp is set)."""
+    import jax
+
+    from simka_tpu.core.budget import spectrum_rows_budget
+    from simka_tpu.core.sweep import (
+        RamSpill,
+        SpectrumSpill,
+        filtered_solid_per_bank,
+        sweep_join_stats,
+    )
+    from simka_tpu.ops.kmers import n_words_for_k
+
+    k = config.kmer_size
+    n = len(dataset_ids)
+    nw = 2 if k <= 31 else n_words_for_k(k)
+    eff_shards = (
+        n_shards
+        if n_shards > 1 and len(jax.devices()) >= n_shards
+        else 1
+    )
+    budget_rows = spectrum_rows_budget(
+        nw, config.max_memory_mb, eff_shards
+    )
+    spill = None
+    solid = np.zeros(n, np.int64)
+    nb_reads = []
+    repart = np.zeros(16, np.int64)
+    for s, seqs in enumerate(dataset_seqs):
+        if log is not None:
+            log(f"count [{s + 1}/{n}] {dataset_ids[s]} (out-of-core)")
+        words, counts, nr = count_dataset_spectrum(
+            seqs, k,
+            min_kmer_shannon_index=config.min_kmer_shannon_index,
+        )
+        if spill is None:
+            projected = max(int(len(counts) * n * 1.3), 1)
+            n_ranges = max(1, -(-projected // budget_rows))
+            if config.output_tmp_dir:
+                spill = SpectrumSpill(config.output_tmp_dir, n_ranges)
+            else:
+                spill = RamSpill(n_ranges)
+            if log is not None:
+                log(
+                    f"out-of-core sweep: {n_ranges} hash ranges "
+                    f"(projected {projected} rows, budget "
+                    f"{budget_rows}/range, {eff_shards} shard(s))"
+                )
+        repart += repartition_histogram(
+            [(words, counts)],
+            config.abundance_min,
+            config.abundance_max,
+        )
+        spill.spill_sample(s, words, counts)
+        solid[s] = filtered_solid_per_bank(
+            [counts], config.abundance_min, config.abundance_max
+        )[0]
+        nb_reads.append(nr)
+    if spill is None:
+        raise ValueError("no datasets")
+    if observer is not None:
+        observer["repartition_instances"] = repart
+        observer["sweep_ranges"] = spill.n_ranges
+    js = sweep_join_stats(
+        spill,
+        n,
+        config.abundance_min,
+        config.abundance_max,
+        solid,
+        simple=config.simple_dist,
+        complex_=config.complex_dist,
+        hi_bits=max(0, 2 * k - 32) if k <= 31 else 32,
+        verbose_log=log if log is not None else (lambda m: None),
+        n_shards=eff_shards,
+    )
+    if not config.keep_tmp:
+        spill.cleanup()
+    return SimkaStatistics.from_join_stats(
+        js,
+        dataset_ids,
+        k,
+        np.asarray(nb_reads, np.int64),
+        config.simple_dist,
+        config.complex_dist,
     )
 
 
@@ -299,11 +414,21 @@ def _compute_statistics_sharded_device(
     )
 
     k = config.kmer_size
+    from simka_tpu.core.budget import (
+        HBMBudgetExceeded,
+        instance_rows_budget,
+    )
+    from simka_tpu.ops.kmers import n_words_for_k
+
     mesh = make_mesh(n_shards)
     replicated = NamedSharding(mesh, P())
 
     batches = []  # (words_sh tuple, n_kept dev array, cap, sample id)
     nb_reads = [0] * len(dataset_seqs)
+    # every device holds the concatenation of all batch caps, so the
+    # per-device budget bounds the cap SUM (core/budget.py)
+    rows_budget = instance_rows_budget(2 if k <= 31 else n_words_for_k(k))
+    cap_sum = 0
 
     def chunk_stream():
         for s, seqs in enumerate(dataset_seqs):
@@ -345,6 +470,12 @@ def _compute_statistics_sharded_device(
                 min_kmer_shannon_index=config.min_kmer_shannon_index,
             )
             batches.append((words_sh, n_kept, cap, s))
+            cap_sum += cap
+            if cap_sum > rows_budget:
+                raise HBMBudgetExceeded(
+                    f"{cap_sum} routed rows/device exceed the plan "
+                    f"of {rows_budget}"
+                )
 
     if not batches:
         return None
@@ -458,12 +589,18 @@ def _compute_statistics_device(
     """
     from concurrent.futures import ThreadPoolExecutor
 
-    from simka_tpu.ops.kmers import extract_packed
+    from simka_tpu.core.budget import (
+        HBMBudgetExceeded,
+        instance_rows_budget,
+    )
+    from simka_tpu.ops.kmers import extract_packed, n_words_for_k
 
     k = config.kmer_size
     batches = []  # (words tuple, sample id)
     nb_reads = [0] * len(dataset_seqs)
     hists = []  # per-batch bucket histograms (device arrays)
+    rows_budget = instance_rows_budget(2 if k <= 31 else n_words_for_k(k))
+    nonlocal_rows = [0]
 
     def chunk_stream():
         for s, seqs in enumerate(dataset_seqs):
@@ -496,6 +633,15 @@ def _compute_statistics_device(
         if observer is not None:
             hists.append(_instance_bucket_hist(flat))
         batches.append((flat, s))
+        nonlocal_rows[0] += flat[0].shape[0]
+        if nonlocal_rows[0] > rows_budget:
+            # the HBM plan cannot hold the join working set (the
+            # ConfigurationAlgorithm role, core/budget.py): abort to
+            # the out-of-core sweep before the allocator fails
+            raise HBMBudgetExceeded(
+                f"{nonlocal_rows[0]} instance rows exceed the device "
+                f"plan of {rows_budget}"
+            )
 
     chunks = chunk_stream()
 
@@ -882,7 +1028,22 @@ def run_simka(config: SimkaConfig) -> Dict[str, np.ndarray]:
         rows_so_far = 0
         spill = None
         solid_acc = np.zeros(len(datasets), np.int64)
-        budget_bytes = max(config.max_memory_mb, 1) * 1_000_000
+        import jax as _jax
+
+        from simka_tpu.core.budget import hbm_budget_bytes
+
+        _n_sh = config.n_shards or len(_jax.devices())
+        eff_shards = (
+            _n_sh
+            if _n_sh > 1 and len(_jax.devices()) >= _n_sh
+            else 1
+        )
+        # the join must fit BOTH the user's -max-memory declaration
+        # and the device HBM plan (scaled by the mesh)
+        budget_bytes = min(
+            max(config.max_memory_mb, 1) * 1_000_000,
+            hbm_budget_bytes() * eff_shards,
+        )
         repart_hist = np.zeros(16, np.int64)
         with metrics.stage("count"):
             for idx, d in enumerate(datasets):
@@ -976,6 +1137,7 @@ def run_simka(config: SimkaConfig) -> Dict[str, np.ndarray]:
                         else 32
                     ),
                     verbose_log=log,
+                    n_shards=eff_shards,
                 )
                 stats = SimkaStatistics.from_join_stats(
                     js,
@@ -1007,12 +1169,48 @@ def run_simka(config: SimkaConfig) -> Dict[str, np.ndarray]:
             for d in datasets
         ]
         observer: dict = {}
+        from simka_tpu.core.budget import (
+            estimate_total_instances,
+            instance_rows_budget,
+        )
+        from simka_tpu.ops.kmers import n_words_for_k
+
+        import jax as _jax
+
+        _n_sh = config.n_shards or len(_jax.devices())
+        eff_shards = (
+            _n_sh
+            if _n_sh > 1 and len(_jax.devices()) >= _n_sh
+            else 1
+        )
+        nw = (
+            2 if config.kmer_size <= 31
+            else n_words_for_k(config.kmer_size)
+        )
+        est = estimate_total_instances(datasets)
+        budget = instance_rows_budget(nw, eff_shards)
         with metrics.stage("count"):
-            stats = compute_statistics(
-                providers, ids, config,
-                log=log if config.verbose else None,
-                observer=observer,
-            )
+            if est > budget:
+                # clearly over the HBM plan: go straight out-of-core
+                # (the mid-ingest guard would catch it anyway, after
+                # wasting up to a budget's worth of ingest)
+                log(
+                    f"estimated ~{est} instances > device plan "
+                    f"{budget}: out-of-core route"
+                )
+                stats = _compute_statistics_out_of_core(
+                    providers, ids, config, eff_shards,
+                    log=log if config.verbose else None,
+                    observer=observer,
+                )
+            else:
+                stats = compute_statistics(
+                    providers, ids, config,
+                    log=log if config.verbose else None,
+                    observer=observer,
+                )
+        if "sweep_ranges" in observer:
+            metrics.set("sweep_ranges", observer["sweep_ranges"])
         total = int(np.sum(stats.dataset_nb_reads))
         metrics.count("reads", total)
         hist = observer.get("repartition_instances")

@@ -43,6 +43,11 @@ def _range_of(words: Tuple[np.ndarray, ...], n_ranges: int) -> np.ndarray:
     h = words[0]
     for w in words[1:]:
         h = _mix_hash_np(h, w)
+    # second mix DECORRELATES the range id from the shard id (which is
+    # the same chained mix % n_shards, parallel/sharded.py): without
+    # it, n_ranges sharing a factor with n_shards leaves most
+    # (shard, range) cells empty when the sweep composes with the mesh
+    h = _mix_hash_np(h, np.uint32(0x27D4EB2F))
     return (h % np.uint32(n_ranges)).astype(np.int64)
 
 
@@ -102,6 +107,55 @@ class SpectrumSpill:
         shutil.rmtree(self.dir, ignore_errors=True)
 
 
+class RamSpill:
+    """Host-RAM variant of SpectrumSpill (same interface) for runs
+    without an -out-tmp directory: the out-of-core property defended
+    is DEVICE memory -- the join working set exceeds HBM long before
+    the counted spectra exceed host RAM. With -out-tmp set the disk
+    spill is used instead (datasets larger than host RAM too)."""
+
+    def __init__(self, n_ranges: int):
+        self.n_ranges = n_ranges
+        self._store = {}
+
+    def spill_sample(
+        self,
+        sample: int,
+        words: Tuple[np.ndarray, ...],
+        counts: np.ndarray,
+    ) -> None:
+        rng = _range_of(tuple(words), self.n_ranges)
+        order = np.argsort(rng, kind="stable")
+        rs = rng[order]
+        bounds = np.searchsorted(rs, np.arange(self.n_ranges + 1))
+        for r in range(self.n_ranges):
+            sel = order[bounds[r] : bounds[r + 1]]
+            self._store[(sample, r)] = (
+                tuple(w[sel] for w in words),
+                counts[sel],
+            )
+
+    def load_range(self, r: int, n_samples: int):
+        wparts: List[List[np.ndarray]] = []
+        sids, cnts = [], []
+        for s in range(n_samples):
+            words, counts = self._store[(s, r)]
+            if not wparts:
+                wparts = [[] for _ in words]
+            for i, w in enumerate(words):
+                wparts[i].append(w)
+            sids.append(np.full(words[0].shape, s, np.int32))
+            cnts.append(counts.astype(np.int32))
+        return (
+            tuple(np.concatenate(p) for p in wparts),
+            np.concatenate(sids),
+            np.concatenate(cnts),
+        )
+
+    def cleanup(self) -> None:
+        self._store.clear()
+
+
 def _add_join_stats(a: JoinStats, b: JoinStats) -> JoinStats:
     """Elementwise fold (the reference's SimkaStatistics::operator+=,
     SimkaDistance.cpp:156-213) -- every field is additive over
@@ -129,52 +183,99 @@ def sweep_join_stats(
     complex_: bool = False,
     hi_bits: int = 32,
     verbose_log=lambda msg: None,
+    n_shards: int = 1,
 ) -> JoinStats:
     """Sequentially join every hash range and fold the statistics.
 
     ``global_solid`` must be the post-filter whole-space per-bank k-mer
     totals (computed at spill time) -- the Whittaker/KL pair terms use
     them in every range (SimkaDistance.cpp:114-152 semantics).
+
+    ``n_shards`` > 1 composes the sweep with the device mesh: each
+    range's rows are hash-routed over the shards and joined under
+    shard_map with a psum (the reference's disk architecture works
+    under ANY core/partition configuration, SimkaPotara.hpp:617-723 --
+    this is the TPU analog: out-of-core x multi-chip).
     """
     import jax.numpy as jnp
+
+    if n_shards > 1:
+        from simka_tpu.parallel.sharded import (
+            make_mesh,
+            shard_rows_by_hash,
+            sharded_join_from_spectra,
+            sharded_join_from_spectra_split,
+        )
+
+        mesh = make_mesh(n_shards)
 
     total: JoinStats = None
     for r in range(spill.n_ranges):
         words, sid, counts = spill.load_range(r, n_samples)
         E = max(len(words[0]), 1)
-        target = 1 << max(10, (E - 1).bit_length())
-        pad = target - len(words[0])
-        if pad:
-            words = tuple(
-                np.concatenate([w, np.full(pad, SENTINEL32, np.uint32)])
-                for w in words
-            )
-            sid = np.concatenate([sid, np.zeros(pad, np.int32)])
-            counts = np.concatenate([counts, np.zeros(pad, np.int32)])
         max_count = int(counts.max()) if len(counts) else 1
         count_bits = min(32, max(11, max_count.bit_length()))
-        join = (
-            join_stats_from_spectra_split
-            if use_split_join(n_samples)
-            else join_stats_from_spectra
-        )
-        js = join(
-            tuple(jnp.asarray(w) for w in words),
-            jnp.asarray(sid),
-            jnp.asarray(counts),
-            jnp.int32(abundance_min),
-            jnp.int64(abundance_max),
-            jnp.asarray(global_solid, jnp.int64),
-            n_banks=n_samples,
-            simple=simple,
-            complex_=complex_,
-            count_bits=count_bits,
-            hi_bits=hi_bits,
-        )
+        split = use_split_join(n_samples)
+        if n_shards > 1:
+            ws, ss, cs = shard_rows_by_hash(
+                words, sid, counts, n_shards
+            )
+            join = (
+                sharded_join_from_spectra_split
+                if split
+                else sharded_join_from_spectra
+            )
+            js = join(
+                ws,
+                ss,
+                cs,
+                abundance_min,
+                abundance_max,
+                np.asarray(global_solid, np.int64),
+                mesh=mesh,
+                n_banks=n_samples,
+                simple=simple,
+                complex_=complex_,
+                count_bits=count_bits,
+                **({"hi_bits": hi_bits} if split else {}),
+            )
+        else:
+            target = 1 << max(10, (E - 1).bit_length())
+            pad = target - len(words[0])
+            if pad:
+                words = tuple(
+                    np.concatenate(
+                        [w, np.full(pad, SENTINEL32, np.uint32)]
+                    )
+                    for w in words
+                )
+                sid = np.concatenate([sid, np.zeros(pad, np.int32)])
+                counts = np.concatenate(
+                    [counts, np.zeros(pad, np.int32)]
+                )
+            join = (
+                join_stats_from_spectra_split
+                if split
+                else join_stats_from_spectra
+            )
+            js = join(
+                tuple(jnp.asarray(w) for w in words),
+                jnp.asarray(sid),
+                jnp.asarray(counts),
+                jnp.int32(abundance_min),
+                jnp.int64(abundance_max),
+                jnp.asarray(global_solid, jnp.int64),
+                n_banks=n_samples,
+                simple=simple,
+                complex_=complex_,
+                count_bits=count_bits,
+                hi_bits=hi_bits,
+            )
         js = jax.tree.map(np.asarray, js)
         total = js if total is None else _add_join_stats(total, js)
         verbose_log(
             f"sweep range {r + 1}/{spill.n_ranges}: {E} rows joined"
+            + (f" over {n_shards} shards" if n_shards > 1 else "")
         )
     return total
 

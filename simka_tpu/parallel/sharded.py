@@ -186,10 +186,13 @@ def _sharded_split_join(
     simple: bool,
     complex_: bool,
     count_bits: int,
+    solid_override=None,
 ) -> JoinStats:
     """Shared program-B half of the sharded two-program join: size the
     pair pass from the max per-shard shared-row count, run it under
-    shard_map with a psum, and assemble."""
+    shard_map with a psum, and assemble. ``solid_override``: GLOBAL
+    per-bank solid totals injected when this join only sees one hash
+    range of the k-mer space (the out-of-core sweep)."""
     pre = prejoin_step(*prejoin_args)
     n_max = int(np.asarray(pre.n_rows_shared).max())
     E = pre.sid_shared.shape[1]
@@ -236,11 +239,16 @@ def _sharded_split_join(
             psum_axis="shards",
         )
 
+    solid = (
+        pre.solid_per_bank
+        if solid_override is None
+        else jnp.asarray(solid_override, jnp.int64)
+    )
     acc = pair_step(
         tuple(w[:, :cap] for w in pre.words_shared),
         pre.sid_shared[:, :cap],
         pre.cnt_shared[:, :cap],
-        pre.solid_per_bank,
+        solid,
         pre.max_count,
     )
     return _join_stats_from_split(pre, acc)
@@ -335,6 +343,7 @@ def sharded_join_from_spectra_split(
     counts_sh,
     abundance_min,
     abundance_max,
+    solid_override=None,
     *,
     mesh: Mesh,
     n_banks: int,
@@ -393,6 +402,7 @@ def sharded_join_from_spectra_split(
         simple=simple,
         complex_=complex_,
         count_bits=count_bits,
+        solid_override=solid_override,
     )
 
 
@@ -542,6 +552,7 @@ def sharded_join_from_spectra(
     counts_sh,
     abundance_min,
     abundance_max,
+    solid_override=None,
     *,
     mesh: Mesh,
     n_banks: int,
@@ -550,9 +561,20 @@ def sharded_join_from_spectra(
     count_bits: int = 32,
 ) -> JoinStats:
     """Sharded variant of join_stats_from_spectra (checkpoint/resume
-    path): every shard joins its spectrum rows, psum-reduced."""
+    path): every shard joins its spectrum rows, psum-reduced.
+
+    ``solid_override``: GLOBAL per-bank solid totals, required when the
+    call only sees one hash range of the k-mer space (the out-of-core
+    sweep composed with sharding) -- the psum makes totals global over
+    SHARDS but not over RANGES."""
     words_sh = tuple(words_sh)
     nw = len(words_sh)
+    has_override = solid_override is not None
+    ov = (
+        jnp.asarray(solid_override, jnp.int64)
+        if has_override
+        else jnp.zeros((n_banks,), jnp.int64)
+    )
 
     @functools.partial(
         jax.shard_map,
@@ -563,18 +585,20 @@ def sharded_join_from_spectra(
             P("shards"),
             P(),
             P(),
+            P(),
         ),
         out_specs=jax.tree.map(
             lambda _: P(), JoinStats(*[0] * len(JoinStats._fields))
         ),
     )
-    def step(words, sid, counts, amin, amax):
+    def step(words, sid, counts, amin, amax, ov):
         return join_stats_from_spectra(
             tuple(w[0] for w in words),
             sid[0],
             counts[0],
             amin,
             amax,
+            ov if has_override else None,
             n_banks=n_banks,
             simple=simple,
             complex_=complex_,
@@ -589,4 +613,5 @@ def sharded_join_from_spectra(
         jnp.asarray(counts_sh),
         jnp.asarray(abundance_min, jnp.int32),
         jnp.asarray(abundance_max, jnp.int64),
+        ov,
     )
