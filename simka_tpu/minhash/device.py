@@ -198,6 +198,129 @@ def sketch_prefix_device(
     return hashes, cnt_c[:s], ent_c[:s], n_distinct, n_full64
 
 
+@functools.partial(jax.jit, static_argnames=("sketch_size",))
+def sketch_stream_step(
+    h, st_h, st_c, corr_h, corr_n, n_full_acc, *, sketch_size: int
+):
+    """Fold one super-batch of the per-instance hash stream into the
+    streaming bottom-s sketch state (non-filter semantics).
+
+    The reference's heap state after any stream prefix is exactly the
+    s smallest distinct hashes seen so far with their total counts --
+    EXCEPT the largest member, whose occurrences stop counting once
+    every smaller member has entered (minhash/sketch.py docstring;
+    SimkaMinCount.hpp:311-338). Three facts make that exactly
+    streamable in O(s) state:
+
+    - a member always enters the heap at its FIRST occurrence (its
+      entry can never be pre-rejected: the top is always >= the final
+      h_max >= any member), so "new members" of a batch merge first
+      occurred IN that batch;
+    - entries permanently add members (evicted hashes can never
+      re-enter: the top only decreases), so the member SET changes in
+      a batch iff any entry happened there -- the global last entry
+      T lives in the last batch whose end-of-batch set changed;
+    - only the final largest member h_max ever has occurrences
+      dropped, exactly those at positions >= T.
+
+    So at every set-changing batch this program recomputes the
+    correction for the CURRENT largest member m: carried count of m
+    (its occurrences in earlier batches) plus its occurrences in this
+    batch before the batch's last entry position. The final state's
+    correction then belongs to the final h_max.
+
+    Args: ``h`` [E] uint64 instance hashes in stream order (FULL64 =
+    invalid/padding); ``st_h``/``st_c`` [s] carried members
+    (ascending, FULL64/0 padding); ``corr_h``/``corr_n`` the carried
+    correction; ``n_full_acc`` running FULL64 tally.
+
+    Returns (st_h, st_c, corr_h, corr_n, n_full_acc) updated.
+    """
+    E = h.shape[0]
+    s = sketch_size
+    idx = jnp.arange(E, dtype=jnp.int32)
+
+    # ---- batch bottom-s distinct prefix with counts + first pos ----
+    hh = (h >> jnp.uint64(32)).astype(jnp.uint32)
+    hl = h.astype(jnp.uint32)
+    hh, hl, pos = jax.lax.sort((hh, hl, idx), num_keys=2)
+    same = (hh[1:] == hh[:-1]) & (hl[1:] == hl[:-1])
+    boundary = jnp.concatenate([jnp.array([True]), ~same])
+    starts_after = jnp.concatenate(
+        [jnp.where(boundary, idx, E)[1:], jnp.array([E], jnp.int32)]
+    )
+    count = _suffix_min(starts_after) - idx
+    is_full = (hh == jnp.uint32(0xFFFFFFFF)) & (
+        hl == jnp.uint32(0xFFFFFFFF)
+    )
+    n_full_acc = n_full_acc + jnp.sum(is_full.astype(jnp.int64))
+    keep = boundary & ~is_full
+
+    from simka_tpu.ops.compact import compact_rows
+
+    hh_c, hl_c, cnt_c, first_c = compact_rows(
+        (hh, hl, count, pos), keep, fills=(0xFFFFFFFF, 0xFFFFFFFF, 0, 0)
+    )
+    sb = min(s, E)
+    bh = (hh_c[:sb].astype(jnp.uint64) << jnp.uint64(32)) | hl_c[
+        :sb
+    ].astype(jnp.uint64)
+    bc = cnt_c[:sb].astype(jnp.int64)
+    bf = first_c[:sb].astype(jnp.int32)
+    if sb < s:
+        bh = jnp.concatenate([bh, jnp.full((s - sb,), FULL64)])
+        bc = jnp.concatenate([bc, jnp.zeros((s - sb,), jnp.int64)])
+        bf = jnp.concatenate([bf, jnp.zeros((s - sb,), jnp.int32)])
+
+    # ---- merge carried [s] + batch [s] (carried side sorts first) ----
+    mh = jnp.concatenate([st_h, bh])
+    mc = jnp.concatenate([st_c, bc])
+    mf = jnp.concatenate([jnp.zeros((s,), jnp.int32), bf])
+    side = jnp.concatenate(
+        [jnp.zeros((s,), jnp.uint32), jnp.ones((s,), jnp.uint32)]
+    )
+    m_hi = (mh >> jnp.uint64(32)).astype(jnp.uint32)
+    m_lo = mh.astype(jnp.uint32)
+    m_hi, m_lo, side, mc, mf = jax.lax.sort(
+        (m_hi, m_lo, side, mc, mf), num_keys=3
+    )
+    mh = (m_hi.astype(jnp.uint64) << jnp.uint64(32)) | m_lo.astype(
+        jnp.uint64
+    )
+    same2 = mh[1:] == mh[:-1]
+    bnd2 = jnp.concatenate([jnp.array([True]), ~same2])
+    next_c = jnp.concatenate([mc[1:], jnp.zeros((1,), jnp.int64)])
+    has_next = jnp.concatenate([same2, jnp.array([False])])
+    comb_c = mc + jnp.where(has_next, next_c, 0)
+    valid2 = mh != FULL64
+    keep2 = bnd2 & valid2
+    # a boundary row on the batch side has no carried twin -> NEW
+    new_row = keep2 & (side == 1)
+
+    nh_c, nc_c, nnew, nf_c = compact_rows(
+        (mh, comb_c, new_row.astype(jnp.int32), mf),
+        keep2,
+        fills=(FULL64, 0, 0, 0),
+    )
+    nh = nh_c[:s]
+    nc = jnp.where(nh != FULL64, nc_c[:s], 0)
+    new_in = (nnew[:s] == 1) & (nh != FULL64)
+    changed = jnp.any(new_in)
+
+    # ---- correction update at a set change ----
+    num_valid = jnp.sum((nh != FULL64).astype(jnp.int32))
+    m_val = nh[jnp.maximum(num_valid - 1, 0)]
+    # last entry position in this batch = max first-pos of new members
+    p_local = jnp.max(jnp.where(new_in, nf_c[:s], -1))
+    pre_cnt = jnp.sum(jnp.where(st_h == m_val, st_c, 0))
+    batch_before = jnp.sum(
+        ((h == m_val) & (idx < p_local)).astype(jnp.int64)
+    )
+    corr_h = jnp.where(changed, m_val, corr_h)
+    corr_n = jnp.where(changed, pre_cnt + batch_before, corr_n)
+    return nh, nc, corr_h, corr_n, n_full_acc
+
+
 @jax.jit
 def count_before_device(h, h_max, t_last):
     """Occurrences of ``h_max`` among the first ``t_last`` stream
