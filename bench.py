@@ -171,14 +171,26 @@ def bench_end_to_end(deadline):
                     n_shards=1,
                 )
             )
-            return time.perf_counter() - t0
+            dt = time.perf_counter() - t0
+            stages = {}
+            try:
+                with open(os.path.join(out, "simka_metrics.json")) as f:
+                    m = json.load(f)
+                stages = {
+                    f"e2e_{key}": v
+                    for key, v in m.get("counters", {}).items()
+                    if key.startswith("stage_")
+                }
+            except Exception:
+                pass
+            return dt, stages
 
-        dt = once("warm")
+        dt, stages = once("warm")
         warm_only = True
         # a steady-state rerun costs ~dt (everything is compile-cached);
         # only take it if it fits comfortably before the watchdog fires
         if time.monotonic() + 1.5 * dt < deadline:
-            dt = once("timed")
+            dt, stages = once("timed")
             warm_only = False
         total_reads = n_samples * n_reads
         total_kmers = total_reads * (read_len - k + 1)
@@ -187,6 +199,66 @@ def bench_end_to_end(deadline):
             "e2e_reads_per_sec": round(total_reads / dt, 1),
             "e2e_kmers_per_sec": round(total_kmers / dt, 1),
             "e2e_warm_only": warm_only,
+            # ingest/join stage breakdown (VERDICT r3 next-step 4):
+            # parse+pack (native C), H2D over the tunnel, extraction
+            # dispatch, and the blocking join+stats materialization
+            **stages,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def bench_wide_n():
+    """N=100 exact-pipeline scale demonstration (VERDICT r3 next-step
+    8; the reference tiles at 100 datasets, simkaMin.py:158): N x N
+    distance-matrix wall-clock through the real product path,
+    exercising the singleton-prune split join (auto-on at N >= 33)."""
+    from simka_tpu.config import SimkaConfig
+    from simka_tpu.core.pipeline import run_simka
+
+    n_samples, n_reads, read_len, k = 100, 4_000, 100, 21
+    rng = np.random.default_rng(11)
+    tmp = tempfile.mkdtemp(prefix="simka_bench_n100_")
+    try:
+        bases = np.frombuffer(b"ACGT", np.uint8)
+        # ~30% of reads drawn from a shared pool so samples overlap
+        shared = bases[rng.integers(0, 4, size=(n_reads, read_len))]
+        lines = []
+        for s in range(n_samples):
+            path = os.path.join(tmp, f"S{s}.fasta")
+            own = bases[
+                rng.integers(0, 4, size=(n_reads, read_len))
+            ]
+            pick = rng.random(n_reads) < 0.3
+            seqs = np.where(pick[:, None], shared, own)
+            with open(path, "wb") as f:
+                for i in range(n_reads):
+                    f.write(b">r%d\n" % i)
+                    f.write(seqs[i].tobytes())
+                    f.write(b"\n")
+            lines.append(f"S{s}: {path}")
+        input_txt = os.path.join(tmp, "input.txt")
+        with open(input_txt, "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+        t0 = time.perf_counter()
+        run_simka(
+            SimkaConfig(
+                input_filename=input_txt,
+                output_dir=os.path.join(tmp, "out"),
+                kmer_size=k,
+                abundance_min=1,
+                verbose=False,
+                n_shards=1,
+            )
+        )
+        dt = time.perf_counter() - t0
+        total_reads = n_samples * n_reads
+        total_kmers = total_reads * (read_len - k + 1)
+        return {
+            "nxn_n_samples": n_samples,
+            "nxn_wall_s": round(dt, 2),
+            "nxn_kmers_per_sec": round(total_kmers / dt, 1),
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -211,15 +283,24 @@ def main():
     watchdog.daemon = True
     watchdog.start()
 
+    # each completed section prints a CUMULATIVE line immediately, so
+    # a watchdog exit never loses finished measurements (the driver
+    # keeps the last parseable line)
     extra = {}
     try:
         extra.update(run_minhash_bench())
     except Exception as e:  # pragma: no cover - defensive
         extra["simkamin_bench_error"] = repr(e)[:200]
+    print(json.dumps({**kernel, **extra}), flush=True)
     try:
         extra.update(bench_end_to_end(deadline - 5.0))
     except Exception as e:  # pragma: no cover - defensive
         extra["e2e_error"] = repr(e)[:200]
+    print(json.dumps({**kernel, **extra}), flush=True)
+    try:
+        extra.update(bench_wide_n())
+    except Exception as e:  # pragma: no cover - defensive
+        extra["nxn_error"] = repr(e)[:200]
     watchdog.cancel()
     print(json.dumps({**kernel, **extra}), flush=True)
 

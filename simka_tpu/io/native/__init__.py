@@ -84,6 +84,17 @@ def get_lib():
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_int64),
     ]
+    lib.fastx_read_packed_batch.restype = ctypes.c_int64
+    lib.fastx_read_packed_batch.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_float,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
     _lib = lib
     return _lib
 
@@ -127,6 +138,54 @@ def iter_code_batches(
             yield codes[:n], lengths[:n]
             if n < batch_reads:
                 break
+    finally:
+        lib.fastx_close(h)
+
+
+def iter_packed_batches(
+    path: str,
+    batch_reads: int,
+    min_read_size: int = 0,
+    min_shannon: float = 0.0,
+    encoding: str = "acgt",
+    width: int = 160,
+) -> Iterator[Tuple[np.ndarray, np.ndarray, int]]:
+    """Yield (packed [B, width/4], validbits [B, width/8], n) batches
+    in pack_codes_host layout, filtered and 2-bit packed at parse time
+    (one C pass; Python never touches read bytes). ``width`` grows
+    automatically when a longer read arrives (rounded to 32)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native fastx library unavailable")
+    h = lib.fastx_open(path.encode())
+    if not h:
+        raise IOError(f"cannot open sequence file: {path}")
+    enc = 1 if encoding == "gatb" else 0
+    width = -(-max(width, 32) // 32) * 32
+    try:
+        while True:
+            packed = np.empty((batch_reads, width // 4), np.uint8)
+            validbits = np.empty((batch_reads, width // 8), np.uint8)
+            n = lib.fastx_read_packed_batch(
+                h,
+                batch_reads,
+                width,
+                min_read_size,
+                min_shannon,
+                enc,
+                packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                validbits.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_uint8)
+                ),
+            )
+            if n == 0:
+                break
+            if n < 0:  # a read longer than width: widen + retry
+                width = -(-max(-n, 2 * width) // 32) * 32
+                continue
+            yield packed, validbits, int(n)
+            # no early EOF inference: a short batch can also mean a
+            # pending longer-than-width read was pushed back
     finally:
         lib.fastx_close(h)
 

@@ -223,6 +223,53 @@ int64_t fastx_read_raw_batch(void* handle, int64_t max_reads,
   return n;
 }
 
+// Fills packed[max_reads * width/4] (2-bit codes, 4/byte, little
+// pairs) and validbits[max_reads * width/8] (1 bit/base, little
+// bitorder) with the next batch of filtered reads -- the exact layout
+// of simka_tpu.ops.kmers.pack_codes_host, produced in ONE pass at
+// parse time so Python never touches read bytes and the host->device
+// link carries 0.375 B/base. width must be a multiple of 32.
+// Returns the number of reads written; 0 at EOF; -needed_width when a
+// read is longer than width (caller re-calls with a wider buffer; the
+// read is held pending).
+int64_t fastx_read_packed_batch(void* handle, int64_t max_reads,
+                                int64_t width, int32_t min_read_size,
+                                float min_shannon, int32_t encoding,
+                                uint8_t* packed, uint8_t* validbits) {
+  auto* r = static_cast<FastxReader*>(handle);
+  const uint8_t* lut = encoding ? kTables.gatb : kTables.acgt;
+  const int64_t wq = width / 4, wb = width / 8;
+  memset(packed, 0, (size_t)max_reads * wq);
+  memset(validbits, 0, (size_t)max_reads * wb);
+  int64_t n = 0;
+  while (n < max_reads) {
+    if (r->pending) {
+      r->pending = false;
+    } else if (!r->next()) {
+      break;
+    }
+    const std::string& s = r->seq();
+    if (min_read_size && (int64_t)s.size() < min_read_size) continue;
+    if (min_shannon != 0.f && shannon_index(s) < min_shannon) continue;
+    if ((int64_t)s.size() > width) {
+      r->pending = true;
+      if (n == 0) return -(int64_t)s.size();
+      break;
+    }
+    uint8_t* prow = packed + n * wq;
+    uint8_t* vrow = validbits + n * wb;
+    const int64_t len = (int64_t)s.size();
+    for (int64_t i = 0; i < len; i++) {
+      uint8_t code = lut[(unsigned char)s[i]];
+      if (code == kInvalid) continue;
+      prow[i >> 2] |= (uint8_t)(code << ((i & 3) * 2));
+      vrow[i >> 3] |= (uint8_t)(1u << (i & 7));
+    }
+    n++;
+  }
+  return n;
+}
+
 // Counts reads (post-filter) without encoding.
 int64_t fastx_count_reads(const char* path, int32_t min_read_size,
                           float min_shannon) {
