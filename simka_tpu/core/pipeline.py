@@ -1034,11 +1034,14 @@ def run_simka(config: SimkaConfig) -> Dict[str, np.ndarray]:
     if config.max_reads == 0:
         # auto mode: per-GROUP read counts (the reference divides each
         # dataset's read estimate by its ';'-group count,
-        # SimkaPotara.hpp:646). Counting streams at native parse
-        # speed with no Python object per read (the reference uses
-        # O(1) bank estimates, SimkaAlgorithm.cpp:428-433).
+        # SimkaPotara.hpp:646), from O(sample) bank estimates like
+        # the reference's Bank::estimate (SimkaAlgorithm.cpp:428-433;
+        # exact on files under the sample size) -- a full counting
+        # pass would double ingest wall-clock on large inputs.
+        from simka_tpu.io.bank import estimate_dataset_reads
+
         raw_counts = [
-            count_dataset_reads(
+            estimate_dataset_reads(
                 d.banks,
                 config.min_read_size,
                 config.min_read_shannon_index,

@@ -260,6 +260,107 @@ def count_dataset_reads(
     return total
 
 
+def _estimate_file_reads(
+    path: str,
+    min_read_size: int,
+    min_read_shannon_index: float,
+    sample_bytes: int = 1 << 22,
+) -> int:
+    """O(sample) filtered-read-count estimate for one file.
+
+    Parses the first ``sample_bytes`` (decompressed), counts complete
+    records and their filter pass rate, and scales by the file's
+    (estimated-decompressed) size. EXACT when the file fits the
+    sample. The role of gatb Bank::estimate
+    (/root/reference/src/core/SimkaAlgorithm.cpp:428-433).
+    """
+    import zlib
+
+    size = os.path.getsize(path)
+    with open(path, "rb") as fh:
+        magic = fh.read(2)
+        fh.seek(0)
+        if magic == b"\x1f\x8b":
+            # decompress the sample ourselves so the COMPRESSED bytes
+            # consumed are known exactly (GzipFile's readahead makes
+            # its fileobj position useless as a ratio)
+            d = zlib.decompressobj(wbits=31)
+            out = bytearray()
+            pending = b""
+            consumed = 0
+            at_eof = False
+            while len(out) <= sample_bytes:
+                if not pending:
+                    pending = fh.read(1 << 16)
+                    if not pending:
+                        at_eof = True
+                        break
+                before = len(pending)
+                out += d.decompress(
+                    pending, sample_bytes + 1 - len(out)
+                )
+                consumed += before - len(d.unconsumed_tail)
+                pending = d.unconsumed_tail
+                if d.eof:
+                    at_eof = fh.read(1) == b""
+                    break
+            data = bytes(out[:sample_bytes])
+            complete = at_eof and len(out) <= sample_bytes
+            est_total_bytes = (
+                len(out) * (size / max(consumed, 1))
+                if consumed
+                else float(size) * 4.0
+            )
+        else:
+            data = fh.read(sample_bytes)
+            complete = fh.read(1) == b""
+            est_total_bytes = float(size)
+    if not data:
+        return 0
+    buf = io.BufferedReader(io.BytesIO(data))
+    first = data[:1]
+    if first == b">":
+        records = list(_iter_fasta(buf))
+    elif first == b"@":
+        records = list(_iter_fastq(buf))
+    else:
+        raise ValueError(f"{path}: unrecognized sequence format")
+    if not complete and records:
+        records = records[:-1]  # the tail record may be truncated
+    n_pass = sum(
+        1
+        for r in records
+        if sequence_passes(r, min_read_size, min_read_shannon_index)
+    )
+    if complete:
+        return n_pass
+    if not records:
+        return 0
+    return int(n_pass * est_total_bytes / len(data))
+
+
+def estimate_dataset_reads(
+    banks: Iterable,
+    min_read_size: int = 0,
+    min_read_shannon_index: float = 0.0,
+) -> int:
+    """Sampled filtered-read estimate for one dataset (O(sample) per
+    file instead of a full parsing pass; exact on files under the
+    sample size). Feeds auto -max-reads like the reference's bank
+    estimates -- the resulting cap is an estimate THERE too
+    (SimkaPotara.hpp:617-657)."""
+    banks = list(banks)
+    if banks and isinstance(banks[0], (str, bytes, os.PathLike)):
+        banks = [banks]
+    total = 0
+    for group in banks:
+        for path in group:
+            total += _estimate_file_reads(
+                path, min_read_size, min_read_shannon_index
+            )
+    return total
+
+
 def encode_batch(
     seqs: List[bytes], max_len: Optional[int] = None
 ) -> Tuple[np.ndarray, np.ndarray]:

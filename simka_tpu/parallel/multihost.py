@@ -95,9 +95,11 @@ def run_simka_multihost(config) -> None:
     # global list (reference computeMaxReads semantics,
     # src/core/SimkaAlgorithm.cpp:376-445).
     if config.max_reads == 0:
+        from simka_tpu.io.bank import estimate_dataset_reads
+
         local_counts = np.zeros(n, np.int64)
         for s in mine:
-            local_counts[s] = count_dataset_reads(
+            local_counts[s] = estimate_dataset_reads(
                 datasets[s].banks,
                 config.min_read_size,
                 config.min_read_shannon_index,

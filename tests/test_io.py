@@ -100,3 +100,56 @@ def test_gzip_roundtrip(tmp_path):
         f.write(b">r1\nACGT\nACGT\n>r2\nTTTT\n")
     seqs = read_sequences(str(p))
     assert seqs == [b"ACGTACGT", b"TTTT"]
+
+
+def test_estimate_dataset_reads_exact_on_small_files(tmp_path):
+    """Files under the sample size estimate EXACTLY (so auto
+    -max-reads is unchanged on test-scale data)."""
+    import numpy as np
+
+    from simka_tpu.io.bank import (
+        count_dataset_reads,
+        estimate_dataset_reads,
+    )
+
+    rng = np.random.default_rng(3)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    f = tmp_path / "x.fasta"
+    with open(f, "wb") as fh:
+        for i in range(500):
+            fh.write(b">r%d\n%s\n" % (i, bytes(rng.choice(bases, 70))))
+    for filt in ((0, 0.0), (80, 0.0)):
+        exact = count_dataset_reads([[str(f)]], *filt)
+        est = estimate_dataset_reads([[str(f)]], *filt)
+        assert est == exact
+
+
+def test_estimate_dataset_reads_scales_large(tmp_path):
+    """Above the sample size the estimate lands within ~10% of the
+    true count (fixed-length reads -> near-exact scaling)."""
+    import gzip as _gzip
+
+    import numpy as np
+
+    from simka_tpu.io.bank import (
+        _estimate_file_reads,
+        count_dataset_reads,
+    )
+
+    rng = np.random.default_rng(4)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    f = tmp_path / "big.fasta"
+    n = 20_000
+    with open(f, "wb") as fh:
+        for i in range(n):
+            fh.write(
+                b">read%d\n%s\n" % (i, bytes(rng.choice(bases, 100)))
+            )
+    est = _estimate_file_reads(str(f), 0, 0.0, sample_bytes=1 << 16)
+    assert abs(est - n) / n < 0.1
+
+    fz = tmp_path / "big.fasta.gz"
+    with open(f, "rb") as src, _gzip.open(fz, "wb") as dst:
+        dst.write(src.read())
+    est_gz = _estimate_file_reads(str(fz), 0, 0.0, sample_bytes=1 << 16)
+    assert abs(est_gz - n) / n < 0.25
