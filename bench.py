@@ -241,23 +241,28 @@ def bench_wide_n():
         with open(input_txt, "w") as f:
             f.write("\n".join(lines) + "\n")
 
-        t0 = time.perf_counter()
-        run_simka(
-            SimkaConfig(
-                input_filename=input_txt,
-                output_dir=os.path.join(tmp, "out"),
-                kmer_size=k,
-                abundance_min=1,
-                verbose=False,
-                n_shards=1,
+        def once(tag):
+            t0 = time.perf_counter()
+            run_simka(
+                SimkaConfig(
+                    input_filename=input_txt,
+                    output_dir=os.path.join(tmp, f"out_{tag}"),
+                    kmer_size=k,
+                    abundance_min=1,
+                    verbose=False,
+                    n_shards=1,
+                )
             )
-        )
-        dt = time.perf_counter() - t0
+            return time.perf_counter() - t0
+
+        warm = once("warm")  # compiles the N=100 split-join programs
+        dt = once("timed")
         total_reads = n_samples * n_reads
         total_kmers = total_reads * (read_len - k + 1)
         return {
             "nxn_n_samples": n_samples,
             "nxn_wall_s": round(dt, 2),
+            "nxn_warm_wall_s": round(warm, 2),
             "nxn_kmers_per_sec": round(total_kmers / dt, 1),
         }
     finally:
@@ -286,17 +291,31 @@ def main():
     # each completed section prints a CUMULATIVE line immediately, so
     # a watchdog exit never loses finished measurements (the driver
     # keeps the last parseable line)
+    def release_device():
+        # drop cached executables + arrays from the previous section:
+        # the kernel bench's resident state measurably degraded the
+        # e2e join (2.07 s vs 0.96 s on the v5e) until freed
+        import gc
+
+        import jax
+
+        gc.collect()
+        jax.clear_caches()
+        gc.collect()
+
     extra = {}
     try:
         extra.update(run_minhash_bench())
     except Exception as e:  # pragma: no cover - defensive
         extra["simkamin_bench_error"] = repr(e)[:200]
     print(json.dumps({**kernel, **extra}), flush=True)
+    release_device()
     try:
         extra.update(bench_end_to_end(deadline - 5.0))
     except Exception as e:  # pragma: no cover - defensive
         extra["e2e_error"] = repr(e)[:200]
     print(json.dumps({**kernel, **extra}), flush=True)
+    release_device()
     try:
         extra.update(bench_wide_n())
     except Exception as e:  # pragma: no cover - defensive

@@ -716,12 +716,6 @@ def _compute_statistics_device(
     # pad to a stable size class so repeated runs reuse the program
     target = 1 << max(10, (E - 1).bit_length())
     pad = target - E
-    word_cols = []
-    for i in range(nw):
-        cols = [b[0][i] for b in batches]
-        if pad:
-            cols.append(jnp.full((pad,), 0xFFFFFFFF, jnp.uint32))
-        word_cols.append(jnp.concatenate(cols))
     sid_cols = [
         jnp.full((b[0][0].shape[0],), s, jnp.int32) for b, s in (
             (b, b[1]) for b in batches
@@ -730,6 +724,17 @@ def _compute_statistics_device(
     if pad:
         sid_cols.append(jnp.zeros((pad,), jnp.int32))
     sid = jnp.concatenate(sid_cols)
+    word_cols = []
+    for i in range(nw):
+        cols = [b[0][i] for b in batches]
+        if pad:
+            cols.append(jnp.full((pad,), 0xFFFFFFFF, jnp.uint32))
+        word_cols.append(jnp.concatenate(cols))
+        # free each word's per-batch arrays as soon as its
+        # concatenated column exists: at 2^26+ rows the doubled
+        # residency is whole gigabytes of HBM
+        for b in batches:
+            b[0][i].delete()
 
     join = (
         count_join_stats_split

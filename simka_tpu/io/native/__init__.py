@@ -181,7 +181,10 @@ def iter_packed_batches(
             if n == 0:
                 break
             if n < 0:  # a read longer than width: widen + retry
-                width = -(-max(-n, 2 * width) // 32) * 32
+                # tight round-to-32 growth (not doubling): window
+                # count -- and so join padding class -- tracks the
+                # true read length like the Python encoder's classes
+                width = -(-max(-n, width + 32) // 32) * 32
                 continue
             yield packed, validbits, int(n)
             # no early EOF inference: a short batch can also mean a

@@ -100,7 +100,10 @@ class PackedReadSource:
         if native is None:
             yield from self._iter_packed_python(batch_reads, k)
             return
-        width0 = max(160, -(-k // 32) * 32)
+        # start narrow and let the reader grow to the true read
+        # length: a too-wide default multiplies every window count
+        # (and the join's padded size class) downstream
+        width0 = max(64, -(-k // 32) * 32)
         cap = self.max_reads
         for group in self.banks:
             c = 0
@@ -136,13 +139,14 @@ class PackedReadSource:
                         packed[keep:] = 0
                         vb[keep:] = 0
                     if keep > 0:
-                        # trim to a power-of-two row class: the native
-                        # buffer is always batch_reads rows, but small
-                        # files must not pay full-batch extraction
-                        rows = min(
-                            len(packed),
-                            max(256, 1 << (keep - 1).bit_length()),
-                        )
+                        # trim to a 256-row class (the Python
+                        # encoder's rounding): the native buffer is
+                        # always batch_reads rows, but partial batches
+                        # (file tails, cap trims) must not pay
+                        # full-batch extraction or window padding --
+                        # pow2 rounding cost the round-4 e2e bench 31%
+                        # extra join rows
+                        rows = min(len(packed), -(-keep // 256) * 256)
                         yield packed[:rows], vb[:rows], keep
                     if capped:
                         break
