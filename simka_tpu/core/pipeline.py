@@ -26,6 +26,7 @@ from simka_tpu.io.bank import (
     read_dataset,
 )
 from simka_tpu.io.dsl import Dataset, check_input_validity, parse_input_file
+from simka_tpu.utils.sizeclass import pad_size_class
 from simka_tpu.ops.countjoin import (
     count_join_stats,
     count_join_stats_split,
@@ -557,7 +558,7 @@ def _compute_statistics_sharded_device(
 
     nw = len(batches[0][0])
     total = sum(b[2] for b in batches)
-    target = 1 << max(10, (total - 1).bit_length())
+    target = pad_size_class(total)
     pad = target - total
     word_cols = []
     for i in range(nw):
@@ -714,7 +715,7 @@ def _compute_statistics_device(
     nw = len(batches[0][0])
     E = sum(b[0][0].shape[0] for b in batches)
     # pad to a stable size class so repeated runs reuse the program
-    target = 1 << max(10, (E - 1).bit_length())
+    target = pad_size_class(E)
     pad = target - E
     sid_cols = [
         jnp.full((b[0][0].shape[0],), s, jnp.int32) for b, s in (
@@ -854,7 +855,7 @@ def compute_statistics_from_spectra(
         )
 
         E = max(len(words[0]), 1)
-        target = 1 << max(10, (E - 1).bit_length())
+        target = pad_size_class(E)
         pad = target - len(words[0])
         if pad:
             words = tuple(

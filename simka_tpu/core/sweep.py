@@ -240,7 +240,9 @@ def sweep_join_stats(
                 **({"hi_bits": hi_bits} if split else {}),
             )
         else:
-            target = 1 << max(10, (E - 1).bit_length())
+            from simka_tpu.utils.sizeclass import pad_size_class
+
+            target = pad_size_class(E)
             pad = target - len(words[0])
             if pad:
                 words = tuple(

@@ -137,7 +137,9 @@ def compute_sketch(
         if not parts:
             return
         tw = sum(int(p.shape[0]) for p in parts)
-        target = 1 << max(16, (tw - 1).bit_length())
+        from simka_tpu.utils.sizeclass import pad_size_class
+
+        target = pad_size_class(tw, min_bits=16)
         if target > tw:
             parts.append(jnp.full((target - tw,), FULL64))
         stream = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
@@ -232,7 +234,9 @@ def compute_sketch(
         return np.empty(0, np.uint64), np.empty(0, np.uint32)
 
     # stable size classes bound recompiles of the spectrum program
-    target = 1 << max(10, (total_windows - 1).bit_length())
+    from simka_tpu.utils.sizeclass import pad_size_class
+
+    target = pad_size_class(total_windows)
     pad = target - total_windows
     if pad:
         parts.append(jnp.full((pad,), FULL64))

@@ -754,8 +754,9 @@ def _join_stats_from_split(pre: Prejoin, acc) -> JoinStats:
 def shared_size_class(n_rows: int, E: int) -> int:
     """Static program-B length for a shared-row count (power-of-two
     classes bound recompiles; never above the program-A length)."""
-    t = 1 << max(10, (max(int(n_rows), 1) - 1).bit_length())
-    return min(t, E)
+    from simka_tpu.utils.sizeclass import pad_size_class
+
+    return min(pad_size_class(n_rows), E)
 
 
 def count_join_stats_split(
