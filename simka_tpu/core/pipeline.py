@@ -382,13 +382,15 @@ def _compute_statistics_host_routed(
 
 def _packed_batch_stream(
     dataset_seqs, dataset_ids, k, nb_reads, log, batch_reads,
-    timers=None,
+    timers=None, valid_tally=None,
 ):
     """Yield (sample, packed, validbits) host batches for every
     dataset: the native parse+filter+2-bit-pack single pass when the
     source is a PackedReadSource (io/packed.py), the Python
     encode+pack otherwise. Stage time accumulates in
-    ``timers['parse_pack_s']``."""
+    ``timers['parse_pack_s']``; the exact valid-window total (when
+    the native counter knows it) in ``valid_tally`` -- poisoned to
+    None the moment any batch's count is unknown."""
     from simka_tpu.io.packed import host_pack_chunk
 
     for s, src in enumerate(dataset_seqs):
@@ -400,19 +402,28 @@ def _packed_batch_stream(
             )
         t0 = time.perf_counter()
         if hasattr(src, "iter_packed"):
-            for packed, vb, n in src.iter_packed(batch_reads, k=k):
+            for packed, vb, n, n_valid in src.iter_packed(
+                batch_reads, k=k
+            ):
                 nb_reads[s] += n
+                if valid_tally is not None:
+                    if n_valid is None:
+                        valid_tally["n"] = None
+                    elif valid_tally["n"] is not None:
+                        valid_tally["n"] += n_valid
                 if timers is not None:
                     timers["parse_pack_s"] += time.perf_counter() - t0
-                yield s, packed, vb
+                yield s, packed, vb, n_valid
                 t0 = time.perf_counter()
         else:
+            if valid_tally is not None:
+                valid_tally["n"] = None
             for chunk in _iter_read_chunks(src, batch_reads):
                 nb_reads[s] += len(chunk)
                 packed, vb = host_pack_chunk(chunk, k)
                 if timers is not None:
                     timers["parse_pack_s"] += time.perf_counter() - t0
-                yield s, packed, vb
+                yield s, packed, vb, None
                 t0 = time.perf_counter()
 
 
@@ -507,20 +518,26 @@ def _compute_statistics_sharded_device(
     )
 
     def ship(item):
-        s, packed, vb = item
+        s, packed, vb, n_valid = item
         t0 = time.perf_counter()
         out = (
             s,
             jax.device_put(packed, replicated),
             jax.device_put(vb, replicated),
+            n_valid,
         )
         timers["h2d_s"] += time.perf_counter() - t0
         return out
 
-    def consume(s, packed, validbits):
+    def consume(s, packed, validbits, n_valid):
         t0 = time.perf_counter()
         n_windows = packed.shape[0] * packed.shape[1] * 4
-        cap = route_capacity(n_windows, n_shards)
+        # the native parser's exact valid-window count shrinks the
+        # routed capacity (invalid windows never survive routing);
+        # the Chernoff slack bounds the binomial on the VALID count
+        cap = route_capacity(
+            n_windows if n_valid is None else n_valid, n_shards
+        )
         words_sh, n_kept = route_packed_batch(
             packed,
             validbits,
@@ -608,6 +625,31 @@ def _compute_statistics_sharded_device(
     return stats
 
 
+import functools as _functools
+
+
+@_functools.partial(
+    __import__("jax").jit, static_argnames=("out_len",)
+)
+def _compact_valid_rows(words, sid, out_len: int):
+    """Compact SENTINEL rows out of the concatenated window stream and
+    slice to the target class (one stable-compaction program; see
+    _compute_statistics_device)."""
+    from simka_tpu.ops.compact import compact_rows
+    from simka_tpu.ops.kmers import SENTINEL
+
+    nw = len(words)
+    comp = compact_rows(
+        (*words, sid),
+        words[0] != SENTINEL,
+        fills=(0xFFFFFFFF,) * nw + (0,),
+    )
+    return (
+        tuple(c[:out_len] for c in comp[:nw]),
+        comp[nw][:out_len],
+    )
+
+
 def _compute_statistics_device(
     dataset_seqs,
     dataset_ids: List[str],
@@ -650,6 +692,7 @@ def _compute_statistics_device(
         "extract_dispatch_s": 0.0,
         "join_s": 0.0,
     }
+    valid_tally = {"n": 0}
 
     def device_extract(s, packed, validbits):
         words = extract_packed(packed, validbits, k, multi=k > 31)
@@ -682,17 +725,17 @@ def _compute_statistics_device(
 
     stream = _packed_batch_stream(
         dataset_seqs, dataset_ids, k, nb_reads, log, batch_reads,
-        timers=timers,
+        timers=timers, valid_tally=valid_tally,
     )
 
     def ship(item):
-        s, packed, vb = item
+        s, packed, vb, n_valid = item
         t0 = time.perf_counter()
-        out = s, jax.device_put(packed), jax.device_put(vb)
+        out = s, jax.device_put(packed), jax.device_put(vb), n_valid
         timers["h2d_s"] += time.perf_counter() - t0
         return out
 
-    def consume(s, packed, vb):
+    def consume(s, packed, vb, n_valid):
         t0 = time.perf_counter()
         device_extract(s, packed, vb)
         timers["extract_dispatch_s"] += time.perf_counter() - t0
@@ -736,6 +779,22 @@ def _compute_statistics_device(
         # residency is whole gigabytes of HBM
         for b in batches:
             b[0][i].delete()
+
+    total_valid = valid_tally["n"]
+    if (
+        total_valid is not None
+        and pad_size_class(total_valid) < target
+    ):
+        # the native parser counted the exact valid windows (no device
+        # sync): when they fit a smaller power-of-two class, compact
+        # the SENTINEL rows out BEFORE the join's sort pays for them
+        # (per-read width padding + row padding are 25-55% of the
+        # stream; XLA's sort cost quantizes at the padded class)
+        out_len = pad_size_class(total_valid)
+        word_cols, sid = _compact_valid_rows(
+            tuple(word_cols), sid, out_len=out_len
+        )
+        word_cols = list(word_cols)
 
     join = (
         count_join_stats_split

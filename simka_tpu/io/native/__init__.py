@@ -92,8 +92,10 @@ def get_lib():
         ctypes.c_int32,
         ctypes.c_float,
         ctypes.c_int32,
+        ctypes.c_int32,
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int64),
     ]
     _lib = lib
     return _lib
@@ -148,12 +150,16 @@ def iter_packed_batches(
     min_read_size: int = 0,
     min_shannon: float = 0.0,
     encoding: str = "acgt",
-    width: int = 160,
-) -> Iterator[Tuple[np.ndarray, np.ndarray, int]]:
-    """Yield (packed [B, width/4], validbits [B, width/8], n) batches
-    in pack_codes_host layout, filtered and 2-bit packed at parse time
-    (one C pass; Python never touches read bytes). ``width`` grows
-    automatically when a longer read arrives (rounded to 32)."""
+    width: int = 64,
+    kmer_size: int = 0,
+) -> Iterator[Tuple[np.ndarray, np.ndarray, int, int]]:
+    """Yield (packed [B, width/4], validbits [B, width/8], n_reads,
+    n_valid_windows) batches in pack_codes_host layout, filtered and
+    2-bit packed at parse time (one C pass; Python never touches read
+    bytes). ``width`` grows automatically when a longer read arrives
+    (rounded to 8: every width slot beyond the longest read becomes a
+    padded k-mer window downstream). ``kmer_size`` > 0 also counts
+    the valid k-mer windows per batch."""
     lib = get_lib()
     if lib is None:
         raise RuntimeError("native fastx library unavailable")
@@ -161,11 +167,12 @@ def iter_packed_batches(
     if not h:
         raise IOError(f"cannot open sequence file: {path}")
     enc = 1 if encoding == "gatb" else 0
-    width = -(-max(width, 32) // 32) * 32
+    width = -(-max(width, 8) // 8) * 8
     try:
         while True:
             packed = np.empty((batch_reads, width // 4), np.uint8)
             validbits = np.empty((batch_reads, width // 8), np.uint8)
+            n_valid = ctypes.c_int64(0)
             n = lib.fastx_read_packed_batch(
                 h,
                 batch_reads,
@@ -173,20 +180,19 @@ def iter_packed_batches(
                 min_read_size,
                 min_shannon,
                 enc,
+                kmer_size,
                 packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                 validbits.ctypes.data_as(
                     ctypes.POINTER(ctypes.c_uint8)
                 ),
+                ctypes.byref(n_valid),
             )
             if n == 0:
                 break
             if n < 0:  # a read longer than width: widen + retry
-                # tight round-to-32 growth (not doubling): window
-                # count -- and so join padding class -- tracks the
-                # true read length like the Python encoder's classes
-                width = -(-max(-n, width + 32) // 32) * 32
+                width = -(-max(-n, width + 8) // 8) * 8
                 continue
-            yield packed, validbits, int(n)
+            yield packed, validbits, int(n), int(n_valid.value)
             # no early EOF inference: a short batch can also mean a
             # pending longer-than-width read was pushed back
     finally:

@@ -228,14 +228,19 @@ int64_t fastx_read_raw_batch(void* handle, int64_t max_reads,
 // bitorder) with the next batch of filtered reads -- the exact layout
 // of simka_tpu.ops.kmers.pack_codes_host, produced in ONE pass at
 // parse time so Python never touches read bytes and the host->device
-// link carries 0.375 B/base. width must be a multiple of 32.
+// link carries 0.375 B/base. width must be a multiple of 8.
+// *n_valid accumulates the number of valid k-mer windows (positions
+// whose next kmer_size bases are all ACGT) across the batch's reads
+// -- the device join can then be sliced to the true window count
+// without a device sync (kmer_size <= 0 skips the count).
 // Returns the number of reads written; 0 at EOF; -needed_width when a
 // read is longer than width (caller re-calls with a wider buffer; the
 // read is held pending).
 int64_t fastx_read_packed_batch(void* handle, int64_t max_reads,
                                 int64_t width, int32_t min_read_size,
                                 float min_shannon, int32_t encoding,
-                                uint8_t* packed, uint8_t* validbits) {
+                                int32_t kmer_size, uint8_t* packed,
+                                uint8_t* validbits, int64_t* n_valid) {
   auto* r = static_cast<FastxReader*>(handle);
   const uint8_t* lut = encoding ? kTables.gatb : kTables.acgt;
   const int64_t wq = width / 4, wb = width / 8;
@@ -259,11 +264,16 @@ int64_t fastx_read_packed_batch(void* handle, int64_t max_reads,
     uint8_t* prow = packed + n * wq;
     uint8_t* vrow = validbits + n * wb;
     const int64_t len = (int64_t)s.size();
+    int64_t run = 0;
     for (int64_t i = 0; i < len; i++) {
       uint8_t code = lut[(unsigned char)s[i]];
-      if (code == kInvalid) continue;
+      if (code == kInvalid) {
+        run = 0;
+        continue;
+      }
       prow[i >> 2] |= (uint8_t)(code << ((i & 3) * 2));
       vrow[i >> 3] |= (uint8_t)(1u << (i & 7));
+      if (kmer_size > 0 && ++run >= kmer_size) (*n_valid)++;
     }
     n++;
   }

@@ -35,7 +35,7 @@ def host_pack_chunk(chunk, k: int, encoding: str = "acgt"):
     else:
         enc = encode_batch
     max_len = max((len(s) for s in chunk), default=k)
-    width = -(-max(max_len, k) // 32) * 32
+    width = -(-max(max_len, k) // 8) * 8
     codes, _ = enc(chunk, max_len=width)
     pad_b = -(-len(chunk) // 256) * 256 - len(chunk)
     if pad_b:
@@ -84,10 +84,12 @@ class PackedReadSource:
 
     def iter_packed(
         self, batch_reads: int, k: int = 21
-    ) -> Iterator[Tuple[np.ndarray, np.ndarray, int]]:
-        """Yield (packed [B, W/4], validbits [B, W/8], n_reads)
-        batches in pack_codes_host layout. Rows past n_reads are
-        all-invalid. Native when available; Python otherwise."""
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray, int, "int | None"]]:
+        """Yield (packed [B, W/4], validbits [B, W/8], n_reads,
+        n_valid_windows) batches in pack_codes_host layout. Rows past
+        n_reads are all-invalid; n_valid_windows is the exact count of
+        valid k-mer windows (None when unknown: the Python fallback,
+        or a cap-trimmed batch). Native when available."""
         native = None
         if os.environ.get("SIMKA_TPU_NO_NATIVE") != "1":
             try:
@@ -101,22 +103,23 @@ class PackedReadSource:
             yield from self._iter_packed_python(batch_reads, k)
             return
         # start narrow and let the reader grow to the true read
-        # length: a too-wide default multiplies every window count
-        # (and the join's padded size class) downstream
-        width0 = max(64, -(-k // 32) * 32)
+        # length rounded to 8 (not 32): every width slot beyond the
+        # longest read becomes a padded k-mer window in the join
+        width0 = max(64, -(-k // 8) * 8)
         cap = self.max_reads
         for group in self.banks:
             c = 0
             capped = False
             for path in group:
                 first_of_file = True
-                for packed, vb, n in native.iter_packed_batches(
+                for packed, vb, n, n_valid in native.iter_packed_batches(
                     path,
                     batch_reads,
                     self.min_read_size,
                     self.min_read_shannon_index,
                     encoding=self.encoding,
                     width=width0,
+                    kmer_size=k,
                 ):
                     if cap:
                         # SimkaInputIterator quirks
@@ -138,6 +141,7 @@ class PackedReadSource:
                     if keep < n:
                         packed[keep:] = 0
                         vb[keep:] = 0
+                        n_valid = None  # dropped rows' windows unknown
                     if keep > 0:
                         # trim to a 256-row class (the Python
                         # encoder's rounding): the native buffer is
@@ -147,7 +151,7 @@ class PackedReadSource:
                         # pow2 rounding cost the round-4 e2e bench 31%
                         # extra join rows
                         rows = min(len(packed), -(-keep // 256) * 256)
-                        yield packed[:rows], vb[:rows], keep
+                        yield packed[:rows], vb[:rows], keep, n_valid
                     if capped:
                         break
                 if capped:
@@ -164,4 +168,4 @@ class PackedReadSource:
             if not chunk:
                 return
             packed, vb = host_pack_chunk(chunk, k, self.encoding)
-            yield packed, vb, len(chunk)
+            yield packed, vb, len(chunk), None

@@ -44,15 +44,19 @@ def dataset(tmp_path):
 
 
 def _kmer_multiset(packed_batches, k):
-    """Sorted valid k-mer stream from packed batches."""
+    """Sorted valid k-mer stream from packed batches; also checks the
+    native per-batch valid-window count against extraction."""
     out = []
-    for packed, vb, n in packed_batches:
+    for packed, vb, n, n_valid in packed_batches:
         hi, lo = extract_packed(
             jnp.asarray(packed), jnp.asarray(vb), k
         )
         hi = np.asarray(hi).ravel()
         lo = np.asarray(lo).ravel()
         keep = hi != np.uint32(0xFFFFFFFF)
+        if n_valid is not None:
+            # the native C window counter must agree with extraction
+            assert int(keep.sum()) == n_valid
         out.append(
             (hi[keep].astype(np.uint64) << np.uint64(32))
             | lo[keep].astype(np.uint64)
@@ -81,7 +85,7 @@ def test_native_packed_matches_python_stream(
     for i in range(0, len(reads), 16):
         chunk = reads[i : i + 16]
         p, v = host_pack_chunk(chunk, k)
-        batches.append((p, v, len(chunk)))
+        batches.append((p, v, len(chunk), None))
     py_kmers = _kmer_multiset(batches, k)
     np.testing.assert_array_equal(native_kmers, py_kmers)
 
@@ -110,5 +114,5 @@ def test_long_read_width_growth(tmp_path):
     k = 21
     got = _kmer_multiset(src.iter_packed(8, k=k), k)
     p, v = host_pack_chunk(reads, k)
-    ref = _kmer_multiset([(p, v, len(reads))], k)
+    ref = _kmer_multiset([(p, v, len(reads), None)], k)
     np.testing.assert_array_equal(got, ref)
