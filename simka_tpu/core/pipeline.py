@@ -132,35 +132,6 @@ def extract_dataset_kmers(
     return tuple(np.concatenate(p) for p in parts), n_reads
 
 
-def _instance_bucket_hist(words, n_buckets: int = 16):
-    """[n_buckets] instance counts by k-mer hash bucket, on device.
-
-    The in-memory analog of the reference's printCountInfo repartition
-    histogram (src/SimkaPotara.hpp:785-811): a skew diagnostic for the
-    hash sharding, emitted on EVERY path (the -out-tmp path computes
-    the distinct-solid variant from host spectra instead)."""
-    import jax
-
-    from simka_tpu.ops.intmatmul import binned_sum
-    from simka_tpu.ops.kmers import SENTINEL, mix_hash
-
-    @jax.jit
-    def hist(words):
-        h = words[0]
-        for w in words[1:]:
-            h = mix_hash(h, w)
-        valid = words[0] != SENTINEL
-        bucket = jnp.where(
-            valid, (h % jnp.uint32(n_buckets)).astype(jnp.int32),
-            n_buckets,
-        )
-        return binned_sum(
-            valid.astype(jnp.int64), bucket, n_buckets, bits=40
-        )
-
-    return hist(tuple(words))
-
-
 def compute_statistics(
     dataset_seqs,
     dataset_ids: List[str],
@@ -380,18 +351,101 @@ def _compute_statistics_host_routed(
     )
 
 
+def _coalesced_row_class(r: int) -> int:
+    """Row class for a coalesced multi-sample batch: ~3-bit mantissa
+    granularity bounds both padding waste (<= 12.5%) and the number
+    of distinct extract-program shapes."""
+    g = max(256, 1 << max(0, r.bit_length() - 3))
+    return -(-r // g) * g
+
+
 def _packed_batch_stream(
     dataset_seqs, dataset_ids, k, nb_reads, log, batch_reads,
-    timers=None, valid_tally=None,
+    timers=None, valid_tally=None, coalesce=False,
 ):
-    """Yield (sample, packed, validbits) host batches for every
-    dataset: the native parse+filter+2-bit-pack single pass when the
-    source is a PackedReadSource (io/packed.py), the Python
-    encode+pack otherwise. Stage time accumulates in
-    ``timers['parse_pack_s']``; the exact valid-window total (when
-    the native counter knows it) in ``valid_tally`` -- poisoned to
-    None the moment any batch's count is unknown."""
+    """Yield packed host batches for every dataset: the native
+    parse+filter+2-bit-pack single pass when the source is a
+    PackedReadSource (io/packed.py), the Python encode+pack otherwise.
+
+    Yields (sample_id:int, packed, validbits, n_valid) per batch --
+    or, with ``coalesce=True``, (row_sid:np.ndarray, packed,
+    validbits, n_valid) where several SAMPLES' batches of equal width
+    are concatenated up to ~batch_reads rows with a per-row sample
+    id. Coalescing exists for wide-N runs: 100 samples previously
+    meant 100+ extract dispatches, and on the axon tunnel every
+    dispatch pays a round trip (7.2 of 10.4 s at N=100).
+
+    Stage time accumulates in ``timers['parse_pack_s']``; the exact
+    valid-window total (when the native counter knows it) in
+    ``valid_tally`` -- poisoned to None the moment any batch's count
+    is unknown."""
     from simka_tpu.io.packed import host_pack_chunk
+
+    buf = []  # (sample, packed, vb, n_valid) awaiting coalesce
+    buf_rows = 0
+
+    def flush():
+        nonlocal buf, buf_rows
+        if not buf:
+            return None
+        if len(buf) == 1:
+            sample, packed, vb, nv = buf[0]
+            sid_row = np.full(packed.shape[0], sample, np.int32)
+        else:
+            rows = sum(b[1].shape[0] for b in buf)
+            target = min(_coalesced_row_class(rows), batch_reads)
+            pad = max(target - rows, 0)
+            wq = buf[0][1].shape[1]
+            packed = np.concatenate(
+                [b[1] for b in buf]
+                + ([np.zeros((pad, wq), np.uint8)] if pad else [])
+            )
+            vb = np.concatenate(
+                [b[2] for b in buf]
+                + (
+                    [np.zeros((pad, wq // 2), np.uint8)]
+                    if pad
+                    else []
+                )
+            )
+            sid_row = np.concatenate(
+                [
+                    np.full(b[1].shape[0], b[0], np.int32)
+                    for b in buf
+                ]
+                + ([np.zeros(pad, np.int32)] if pad else [])
+            )
+            nv = 0
+            for b in buf:
+                if b[3] is None:
+                    nv = None
+                    break
+                nv += b[3]
+        buf = []
+        buf_rows = 0
+        return sid_row, packed, vb, nv
+
+    def emit(sample, packed, vb, n_valid):
+        """Route one source batch: straight through, or buffered."""
+        if valid_tally is not None:
+            if n_valid is None:
+                valid_tally["n"] = None
+            elif valid_tally["n"] is not None:
+                valid_tally["n"] += n_valid
+        if not coalesce:
+            return [(sample, packed, vb, n_valid)]
+        nonlocal buf, buf_rows
+        out = []
+        if buf and (
+            buf[0][1].shape[1] != packed.shape[1]
+            or buf_rows + packed.shape[0] > batch_reads
+        ):
+            out.append(flush())
+        buf.append((sample, packed, vb, n_valid))
+        buf_rows += packed.shape[0]
+        if buf_rows >= batch_reads:
+            out.append(flush())
+        return out
 
     for s, src in enumerate(dataset_seqs):
         if log is not None:
@@ -406,14 +460,10 @@ def _packed_batch_stream(
                 batch_reads, k=k
             ):
                 nb_reads[s] += n
-                if valid_tally is not None:
-                    if n_valid is None:
-                        valid_tally["n"] = None
-                    elif valid_tally["n"] is not None:
-                        valid_tally["n"] += n_valid
+                items = emit(s, packed, vb, n_valid)
                 if timers is not None:
                     timers["parse_pack_s"] += time.perf_counter() - t0
-                yield s, packed, vb, n_valid
+                yield from items
                 t0 = time.perf_counter()
         else:
             if valid_tally is not None:
@@ -421,10 +471,14 @@ def _packed_batch_stream(
             for chunk in _iter_read_chunks(src, batch_reads):
                 nb_reads[s] += len(chunk)
                 packed, vb = host_pack_chunk(chunk, k)
+                items = emit(s, packed, vb, None)
                 if timers is not None:
                     timers["parse_pack_s"] += time.perf_counter() - t0
-                yield s, packed, vb, None
+                yield from items
                 t0 = time.perf_counter()
+    tail = flush()
+    if tail is not None:
+        yield tail
 
 
 def _pipelined_ingest(stream, ship, consume):
@@ -629,6 +683,52 @@ import functools as _functools
 
 
 @_functools.partial(
+    __import__("jax").jit,
+    static_argnames=("k", "multi", "min_shannon", "with_hist"),
+)
+def _extract_windows_program(
+    packed, validbits, row_sid, *, k: int, multi: bool,
+    min_shannon: float, with_hist: bool,
+):
+    """One fused device program per ingest batch: unpack + canonical
+    k-mer extraction + optional k-mer-shannon mask + per-row sample-id
+    broadcast + optional repartition histogram. Fusing these (they
+    were 2-3 dispatches) matters on the axon tunnel, where every
+    dispatch pays a round trip (7.2 of 10.4 s at N=100 before
+    coalescing+fusion)."""
+    from simka_tpu.ops.intmatmul import binned_sum
+    from simka_tpu.ops.kmers import (
+        SENTINEL,
+        extract_packed,
+        kmer_shannon_index_words,
+        mix_hash,
+    )
+
+    words = extract_packed(packed, validbits, k, multi=multi)
+    if min_shannon > 0.0:
+        keep = kmer_shannon_index_words(words, k) >= min_shannon
+        words = tuple(jnp.where(keep, w, SENTINEL) for w in words)
+    sid = jnp.broadcast_to(
+        row_sid[:, None], words[0].shape
+    ).ravel()
+    flat = tuple(w.ravel() for w in words)
+    if not with_hist:
+        return flat, sid, ()
+    h = flat[0]
+    for w in flat[1:]:
+        h = mix_hash(h, w)
+    valid = flat[0] != SENTINEL
+    bucket = jnp.where(
+        valid, (h % jnp.uint32(16)).astype(jnp.int32), 16
+    )
+    hist = binned_sum(valid.astype(jnp.int64), bucket, 16, bits=40)
+    return flat, sid, hist
+
+
+
+
+
+@_functools.partial(
     __import__("jax").jit, static_argnames=("out_len",)
 )
 def _compact_valid_rows(words, sid, out_len: int):
@@ -681,7 +781,7 @@ def _compute_statistics_device(
     import jax
 
     k = config.kmer_size
-    batches = []  # (words tuple, sample id)
+    batches = []  # (words tuple, sid flat device array)
     nb_reads = [0] * len(dataset_seqs)
     hists = []  # per-batch bucket histograms (device arrays)
     rows_budget = instance_rows_budget(2 if k <= 31 else n_words_for_k(k))
@@ -694,25 +794,19 @@ def _compute_statistics_device(
     }
     valid_tally = {"n": 0}
 
-    def device_extract(s, packed, validbits):
-        words = extract_packed(packed, validbits, k, multi=k > 31)
-        if config.min_kmer_shannon_index > 0.0:
-            from simka_tpu.ops.kmers import (
-                SENTINEL,
-                kmer_shannon_index_words,
-            )
-
-            keep = (
-                kmer_shannon_index_words(words, k)
-                >= config.min_kmer_shannon_index
-            )
-            words = tuple(
-                jnp.where(keep, w, SENTINEL) for w in words
-            )
-        flat = tuple(w.ravel() for w in words)
+    def device_extract(row_sid, packed, validbits):
+        flat, sid, hist = _extract_windows_program(
+            packed,
+            validbits,
+            row_sid,
+            k=k,
+            multi=k > 31,
+            min_shannon=float(config.min_kmer_shannon_index),
+            with_hist=observer is not None,
+        )
         if observer is not None:
-            hists.append(_instance_bucket_hist(flat))
-        batches.append((flat, s))
+            hists.append(hist)
+        batches.append((flat, sid))
         nonlocal_rows[0] += flat[0].shape[0]
         if nonlocal_rows[0] > rows_budget:
             # the HBM plan cannot hold the join working set (the
@@ -725,19 +819,24 @@ def _compute_statistics_device(
 
     stream = _packed_batch_stream(
         dataset_seqs, dataset_ids, k, nb_reads, log, batch_reads,
-        timers=timers, valid_tally=valid_tally,
+        timers=timers, valid_tally=valid_tally, coalesce=True,
     )
 
     def ship(item):
-        s, packed, vb, n_valid = item
+        sid_row, packed, vb, n_valid = item
         t0 = time.perf_counter()
-        out = s, jax.device_put(packed), jax.device_put(vb), n_valid
+        out = (
+            jax.device_put(sid_row),
+            jax.device_put(packed),
+            jax.device_put(vb),
+            n_valid,
+        )
         timers["h2d_s"] += time.perf_counter() - t0
         return out
 
-    def consume(s, packed, vb, n_valid):
+    def consume(sid_row, packed, vb, n_valid):
         t0 = time.perf_counter()
-        device_extract(s, packed, vb)
+        device_extract(sid_row, packed, vb)
         timers["extract_dispatch_s"] += time.perf_counter() - t0
 
     _pipelined_ingest(stream, ship, consume)
@@ -752,7 +851,7 @@ def _compute_statistics_device(
                     jnp.full((1,), 0xFFFFFFFF, jnp.uint32)
                     for _ in range(nw)
                 ),
-                0,
+                jnp.zeros((1,), jnp.int32),
             )
         ]
     nw = len(batches[0][0])
@@ -760,11 +859,7 @@ def _compute_statistics_device(
     # pad to a stable size class so repeated runs reuse the program
     target = pad_size_class(E)
     pad = target - E
-    sid_cols = [
-        jnp.full((b[0][0].shape[0],), s, jnp.int32) for b, s in (
-            (b, b[1]) for b in batches
-        )
-    ]
+    sid_cols = [b[1] for b in batches]
     if pad:
         sid_cols.append(jnp.zeros((pad,), jnp.int32))
     sid = jnp.concatenate(sid_cols)
