@@ -23,9 +23,8 @@ from simka_tpu.io.bank import (
     count_dataset_reads,
     encode_batch,
     iter_dataset_reads,
-    read_dataset,
 )
-from simka_tpu.io.dsl import Dataset, check_input_validity, parse_input_file
+from simka_tpu.io.dsl import check_input_validity, parse_input_file
 from simka_tpu.utils.sizeclass import pad_size_class
 from simka_tpu.ops.countjoin import (
     count_join_stats,
@@ -681,9 +680,11 @@ def _compute_statistics_sharded_device(
 
 import functools as _functools
 
+import jax as _jax
+
 
 @_functools.partial(
-    __import__("jax").jit,
+    _jax.jit,
     static_argnames=("k", "multi", "min_shannon", "with_hist"),
 )
 def _extract_windows_program(
@@ -728,9 +729,7 @@ def _extract_windows_program(
 
 
 
-@_functools.partial(
-    __import__("jax").jit, static_argnames=("out_len",)
-)
+@_functools.partial(_jax.jit, static_argnames=("out_len",))
 def _compact_valid_rows(words, sid, out_len: int):
     """Compact SENTINEL rows out of the concatenated window stream and
     slice to the target class (one stable-compaction program; see

@@ -34,7 +34,7 @@ and hence sketch contents -- match exactly.
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -28,7 +28,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from simka_tpu.ops.countjoin import JoinStats, join_stats_from_spectra
+from simka_tpu.ops.countjoin import (
+    JoinStats,
+    join_spectra_prejoin,
+    join_stats_from_spectra,
+    use_split_join,
+)
 
 
 def init_distributed(
@@ -355,15 +360,7 @@ def multihost_join_from_spectra(
     cap_needed = int(np.asarray(cap_prog(*garrs[:nw])))
     cap = 1 << max(8, (max(cap_needed, 1) - 1).bit_length())
 
-    @functools.partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=tuple(P("shards") for _ in range(nw + 2)),
-        out_specs=jax.tree.map(
-            lambda _: P(), JoinStats(*[0] * len(JoinStats._fields))
-        ),
-    )
-    def step(*args):
+    def bin_and_exchange(args):
         wb = tuple(a[0] for a in args[:nw])
         sid_b = args[nw][0]
         cnt_b = args[nw + 1][0]
@@ -377,7 +374,64 @@ def multihost_join_from_spectra(
             )
             return y.reshape(-1)
 
-        exchanged = tuple(a2a(b) for b in binned)
+        return tuple(a2a(b) for b in binned)
+
+    if use_split_join(n_banks):
+        # wide N: the singleton-prune two-program join, with the
+        # exchange folded into program A (parallel/sharded.py's
+        # _sharded_split_join sizes and runs program B)
+        from simka_tpu.parallel.sharded import (
+            _prejoin_out_specs,
+            _sharded_split_join,
+        )
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=tuple(P("shards") for _ in range(nw + 2)),
+            out_specs=_prejoin_out_specs(nw),
+        )
+        def pre_step(*args):
+            exchanged = bin_and_exchange(args)
+            pre = join_spectra_prejoin(
+                exchanged[:nw],
+                exchanged[nw],
+                exchanged[nw + 1],
+                jnp.int32(abundance_min),
+                jnp.int64(abundance_max),
+                n_banks=n_banks,
+                vary_axes=("shards",),
+                psum_axis="shards",
+            )
+            return pre._replace(
+                words_shared=tuple(
+                    w[None, :] for w in pre.words_shared
+                ),
+                sid_shared=pre.sid_shared[None, :],
+                cnt_shared=pre.cnt_shared[None, :],
+                n_rows_shared=pre.n_rows_shared[None],
+            )
+
+        return _sharded_split_join(
+            pre_step,
+            tuple(garrs),
+            mesh=mesh,
+            n_banks=n_banks,
+            simple=simple,
+            complex_=complex_,
+            count_bits=32,
+        )
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=tuple(P("shards") for _ in range(nw + 2)),
+        out_specs=jax.tree.map(
+            lambda _: P(), JoinStats(*[0] * len(JoinStats._fields))
+        ),
+    )
+    def step(*args):
+        exchanged = bin_and_exchange(args)
         return join_stats_from_spectra(
             exchanged[:nw],
             exchanged[nw],

@@ -16,7 +16,6 @@ Because every accumulator is an order-independent integer sum
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
