@@ -729,6 +729,27 @@ def _extract_windows_program(
 
 
 
+@_functools.partial(
+    _jax.jit, static_argnames=("k", "multi", "min_shannon")
+)
+def _extract_flat_program(
+    packed, validbits, *, k: int, multi: bool, min_shannon: float
+):
+    """Fused unpack + extraction (+ optional shannon mask) for the
+    COUNT phase (no sample ids: one sample per call)."""
+    from simka_tpu.ops.kmers import (
+        SENTINEL,
+        extract_packed,
+        kmer_shannon_index_words,
+    )
+
+    words = extract_packed(packed, validbits, k, multi=multi)
+    if min_shannon > 0.0:
+        keep = kmer_shannon_index_words(words, k) >= min_shannon
+        words = tuple(jnp.where(keep, w, SENTINEL) for w in words)
+    return tuple(w.ravel() for w in words)
+
+
 @_functools.partial(_jax.jit, static_argnames=("out_len",))
 def _compact_valid_rows(words, sid, out_len: int):
     """Compact SENTINEL rows out of the concatenated window stream and
@@ -1068,6 +1089,60 @@ def count_dataset_spectrum(
 
     partials = []
     n_reads = 0
+    if hasattr(seqs, "iter_packed") and getattr(
+        seqs, "encoding", "acgt"
+    ) == "acgt":
+        # packed fast path: native parse+pack, fused device extraction
+        # (the checkpoint and out-of-core count phases previously paid
+        # the per-read Python stream)
+        import jax
+
+        parts = None
+        part_rows = 0
+        n_reads = 0
+        for packed, vb, n, _n_valid in seqs.iter_packed(
+            min(stream_batch_reads, 1 << 17), k=k
+        ):
+            n_reads += n
+            flat = _extract_flat_program(
+                jax.device_put(packed),
+                jax.device_put(vb),
+                k=k,
+                multi=k > 31,
+                min_shannon=float(min_kmer_shannon_index),
+            )
+            if parts is None:
+                parts = [[] for _ in flat]
+            for i, w in enumerate(flat):
+                parts[i].append(w)
+            part_rows += flat[0].shape[0]
+            if part_rows >= stream_batch_reads * 32:
+                partials.append(
+                    count_spectrum(
+                        *(jnp.concatenate(pp) for pp in parts)
+                    )
+                )
+                parts = None
+                part_rows = 0
+        if parts is not None:
+            partials.append(
+                count_spectrum(
+                    *(jnp.concatenate(pp) for pp in parts)
+                )
+            )
+        if not partials:
+            nw = 2 if k <= 31 else 3
+            return (
+                tuple(np.empty(0, np.uint32) for _ in range(nw)),
+                np.empty(0, np.int64),
+                0,
+            )
+        if len(partials) == 1:
+            uw, counts = partials[0]
+        else:
+            uw, counts = merge_spectra(partials)
+        return uw, counts, n_reads
+
     for chunk in _iter_read_chunks(seqs, stream_batch_reads):
         n_reads += len(chunk)
         words, _ = extract_dataset_kmers(
@@ -1143,18 +1218,22 @@ def count_one_dataset(d, config: SimkaConfig, cap: int, ckpt=None,
             log(f"count {d.id}: resumed from checkpoint "
                 f"({len(counts)} distinct k-mers)")
             return words, counts, n, True
+    from simka_tpu.io.packed import PackedReadSource
+
+    source = PackedReadSource(
+        d.banks,
+        config.min_read_size,
+        config.min_read_shannon_index,
+        max_reads=cap,
+    )
     last_err = None
     for attempt in range(4):
         try:
-            # stream reads through the counter (a fresh iterator per
-            # attempt); the dataset never materializes on the host
+            # stream packed batches through the counter (the source is
+            # re-iterable per attempt); the dataset never materializes
+            # on the host
             words, counts, n = count_dataset_spectrum(
-                lambda: iter_dataset_reads(
-                    d.banks,
-                    config.min_read_size,
-                    config.min_read_shannon_index,
-                    max_reads=cap,
-                ),
+                source,
                 config.kmer_size,
                 min_kmer_shannon_index=config.min_kmer_shannon_index,
             )

@@ -13,7 +13,6 @@ from typing import List, Optional
 import numpy as np
 
 from simka_tpu.core.output import dump_matrix_csv_gz
-from simka_tpu.io.bank import iter_dataset_reads
 from simka_tpu.io.dsl import check_input_validity, parse_input_file
 from simka_tpu.minhash.distance import (
     MATRIX_NAMES,
@@ -52,26 +51,28 @@ def sketch_command(
     sf = SketchFile.create(
         output_path, kmer_size, sketch_size, seed, len(datasets)
     )
-    for i, ds in enumerate(datasets):
-        # stream reads through the sketcher (no List[bytes]
-        # materialization; gatb IBank streaming, SimkaCommons.hpp:159)
-        def reads(ds=ds):
-            return iter_dataset_reads(
-                ds.banks,
-                min_read_size,
-                min_read_shannon_index,
-                max_reads=max_reads,
-            )
+    from simka_tpu.io.packed import PackedReadSource
 
+    for i, ds in enumerate(datasets):
+        # stream packed batches through the sketcher (native parse +
+        # gatb 2-bit pack in one C pass; the source also satisfies the
+        # raw-read provider protocol for the bloom/host fallbacks)
+        source = PackedReadSource(
+            ds.banks,
+            min_read_size,
+            min_read_shannon_index,
+            max_reads=max_reads,
+            encoding="gatb",
+        )
         if bloom_bits is not None:
             from simka_tpu.minhash.bloom import compute_sketch_bloom
 
             hashes, counts = compute_sketch_bloom(
-                reads, kmer_size, sketch_size, seed, bloom_bits
+                source, kmer_size, sketch_size, seed, bloom_bits
             )
         else:
             hashes, counts = compute_sketch(
-                reads,
+                source,
                 kmer_size,
                 sketch_size,
                 seed,

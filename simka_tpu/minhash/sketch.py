@@ -158,23 +158,39 @@ def compute_sketch(
         parts = []
         pending_windows = 0
 
-    it = iter(seqs() if callable(seqs) else seqs)
+    if (
+        hasattr(seqs, "iter_packed")
+        and getattr(seqs, "encoding", "") == "gatb"
+    ):
+        # native parse+filter+2-bit-pack single pass (gatb base codes
+        # for murmur hash-input parity); no Python read objects
+        packed_iter = seqs.iter_packed(batch_reads, k=k)
 
-    def pull_and_prep():
-        chunk = list(islice(it, batch_reads))
-        if not chunk:
-            return None
-        max_len = max((len(s) for s in chunk), default=k)
-        width = -(-max(max_len, k) // 32) * 32
-        # gatb base encoding (A=0,C=1,T=2,G=3): hash-input parity
-        codes, _ = encode_batch_gatb(chunk, max_len=width)
-        pad_b = -(-len(chunk) // 256) * 256 - len(chunk)
-        if pad_b:
-            codes = np.concatenate(
-                [codes, np.full((pad_b, width), 255, np.uint8)]
-            )
-        packed, validbits = pack_codes_host(codes)
-        return jax.device_put(packed), jax.device_put(validbits)
+        def pull_and_prep():
+            item = next(packed_iter, None)
+            if item is None:
+                return None
+            packed, vb, _n, _nv = item
+            return jax.device_put(packed), jax.device_put(vb)
+
+    else:
+        it = iter(seqs() if callable(seqs) else seqs)
+
+        def pull_and_prep():
+            chunk = list(islice(it, batch_reads))
+            if not chunk:
+                return None
+            max_len = max((len(s) for s in chunk), default=k)
+            width = -(-max(max_len, k) // 8) * 8
+            # gatb base encoding (A=0,C=1,T=2,G=3): hash-input parity
+            codes, _ = encode_batch_gatb(chunk, max_len=width)
+            pad_b = -(-len(chunk) // 256) * 256 - len(chunk)
+            if pad_b:
+                codes = np.concatenate(
+                    [codes, np.full((pad_b, width), 255, np.uint8)]
+                )
+            packed, validbits = pack_codes_host(codes)
+            return jax.device_put(packed), jax.device_put(validbits)
 
     with ThreadPoolExecutor(max_workers=1) as ex:
         pending = ex.submit(pull_and_prep)
