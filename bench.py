@@ -269,6 +269,56 @@ def bench_wide_n():
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bench_min_wide_n():
+    """SimkaMin N=100 pipeline (sketch -> tiled distance -> export):
+    the reference's headline wide-N mode (simkaMin/README.md: ~10x
+    cheaper than exact simka)."""
+    from simka_tpu.minhash.pipeline import run_simka_min
+
+    n_samples, n_reads, read_len = 100, 4_000, 100
+    rng = np.random.default_rng(11)
+    tmp = tempfile.mkdtemp(prefix="simka_bench_minn_")
+    try:
+        bases = np.frombuffer(b"ACGT", np.uint8)
+        shared = bases[rng.integers(0, 4, size=(n_reads, read_len))]
+        lines = []
+        for s in range(n_samples):
+            path = os.path.join(tmp, f"S{s}.fasta")
+            own = bases[rng.integers(0, 4, size=(n_reads, read_len))]
+            pick = rng.random(n_reads) < 0.3
+            seqs = np.where(pick[:, None], shared, own)
+            with open(path, "wb") as f:
+                for i in range(n_reads):
+                    f.write(b">r%d\n" % i)
+                    f.write(seqs[i].tobytes())
+                    f.write(b"\n")
+            lines.append(f"S{s}: {path}")
+        input_txt = os.path.join(tmp, "input.txt")
+        with open(input_txt, "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+        def once(tag):
+            t0 = time.perf_counter()
+            run_simka_min(
+                input_txt,
+                os.path.join(tmp, f"out_{tag}"),
+                kmer_size=21,
+                sketch_size=100_000,
+                verbose=False,
+            )
+            return time.perf_counter() - t0
+
+        warm = once("warm")
+        dt = once("timed")
+        return {
+            "min_nxn_n_samples": n_samples,
+            "min_nxn_wall_s": round(dt, 2),
+            "min_nxn_warm_wall_s": round(warm, 2),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main():
     kernel = run_kernel_bench()
     print(json.dumps(kernel), flush=True)
@@ -320,6 +370,12 @@ def main():
         extra.update(bench_wide_n())
     except Exception as e:  # pragma: no cover - defensive
         extra["nxn_error"] = repr(e)[:200]
+    print(json.dumps({**kernel, **extra}), flush=True)
+    release_device()
+    try:
+        extra.update(bench_min_wide_n())
+    except Exception as e:  # pragma: no cover - defensive
+        extra["min_nxn_error"] = repr(e)[:200]
     watchdog.cancel()
     print(json.dumps({**kernel, **extra}), flush=True)
 

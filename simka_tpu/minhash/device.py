@@ -195,7 +195,35 @@ def sketch_prefix_device(
     hashes = (hh_c[:s].astype(jnp.uint64) << jnp.uint64(32)) | hl_c[
         :s
     ].astype(jnp.uint64)
-    return hashes, cnt_c[:s], ent_c[:s], n_distinct, n_full64
+    counts = cnt_c[:s]
+
+    # streaming-heap quirk of the largest member, applied IN-PROGRAM
+    # (SimkaMinCount.hpp:324; module docstring of minhash/sketch.py):
+    # once every smaller member has entered the full heap, h_max's
+    # occurrences stop counting. Folding it here saves two device
+    # round trips per sample -- at N=100 the per-sample syncs were
+    # the SimkaMin sketch phase's dominant cost on the tunnel.
+    full = n_distinct >= sketch_size
+    sel = jnp.minimum(
+        jnp.maximum(n_distinct.astype(jnp.int32), 1), s
+    ) - 1
+    h_max = hashes[sel]
+    sidx = jnp.arange(s, dtype=jnp.int32)
+    t_last = jnp.max(
+        jnp.where(sidx < sel, ent_c[:s], 0)
+    )
+    n_before = jnp.sum(
+        (
+            (h == h_max)
+            & (jnp.arange(E, dtype=jnp.int32) < t_last)
+        ).astype(jnp.int64)
+    )
+    base = 2 if use_filter else 1
+    corrected = jnp.maximum(base, n_before).astype(counts.dtype)
+    counts = jnp.where(
+        full & (sidx == sel), corrected, counts
+    )
+    return hashes, counts, ent_c[:s], n_distinct, n_full64
 
 
 @functools.partial(jax.jit, static_argnames=("sketch_size",))
@@ -319,17 +347,6 @@ def sketch_stream_step(
     corr_h = jnp.where(changed, m_val, corr_h)
     corr_n = jnp.where(changed, pre_cnt + batch_before, corr_n)
     return nh, nc, corr_h, corr_n, n_full_acc
-
-
-@jax.jit
-def count_before_device(h, h_max, t_last):
-    """Occurrences of ``h_max`` among the first ``t_last`` stream
-    positions (the streaming-heap count correction of the largest
-    sketch member; minhash/sketch.py docstring)."""
-    idx = jnp.arange(h.shape[0], dtype=jnp.int32)
-    return jnp.sum(
-        ((h == h_max) & (idx < t_last)).astype(jnp.int64)
-    )
 
 
 @functools.partial(jax.jit, static_argnames=("k", "seed"))

@@ -29,62 +29,67 @@ UINT64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
 def _pair_kernel(hA, cA, lA, hB, cB, lB):
-    """One pair: padded ascending u64 hashes (pad = UINT64_MAX),
-    counts, valid lengths. Returns (jaccard, braycurtis) float32."""
+    """One pair: padded ascending u64 hashes, counts, valid lengths.
+    Returns (jaccard, braycurtis) float32.
+
+    SORT-MERGE formulation: concatenate both sketches, one lax.sort
+    by (hash, validity, side), then every quantity of the reference
+    walk (SimkaMinDistance.hpp:215-258) is a boundary/cumsum scan --
+    the earlier searchsorted formulation lowered to gather-bound
+    binary searches on TPU (gathers serialize; a 100x100 distance
+    phase ran minutes per 64-pair batch).
+
+    Union-rank semantics: the walk processes exactly the union
+    elements of rank <= processed, processed = min(min(lA, lB),
+    rank(t_exh)) with t_exh the exhausted stream's last element.
+    After the merge, an element's union rank is the inclusive cumsum
+    of distinct-boundaries at its row. Validity rides as a sort key
+    (not a sentinel compare), so a genuine all-ones hash stays exact.
+    """
     s = hA.shape[0]
     idx = jnp.arange(s)
-    validA = idx < lA
-    validB = idx < lB
+    invA = (idx >= lA).astype(jnp.uint32)
+    invB = (idx >= lB).astype(jnp.uint32)
 
-    # shared detection from the A side
-    posB = jnp.searchsorted(hB, hA)  # [s]
-    b_at = hB[jnp.clip(posB, 0, s - 1)]
-    sharedA = validA & (posB < lB) & (b_at == hA)
-    cB_of_A = cB[jnp.clip(posB, 0, s - 1)]
+    h = jnp.concatenate([hA, hB])
+    inv = jnp.concatenate([invA, invB])
+    tag = jnp.concatenate(
+        [jnp.zeros(s, jnp.uint32), jnp.ones(s, jnp.uint32)]
+    )
+    c = jnp.concatenate([cA, cB])
+    h, inv, tag, c = jax.lax.sort((h, inv, tag, c), num_keys=3)
 
-    # prefix counts of shared elements along A and along B
-    pref_sharedA = jnp.cumsum(sharedA.astype(jnp.int32))  # at index i: #shared <= a_i
-    # B-side shared flags: an element of B is shared iff found in A
-    posA = jnp.searchsorted(hA, hB)
-    a_at = hA[jnp.clip(posA, 0, s - 1)]
-    sharedB = validB & (posA < lA) & (a_at == hB)
-    pref_sharedB = jnp.cumsum(sharedB.astype(jnp.int32))
+    valid = inv == 0
+    prev_same = jnp.concatenate(
+        [jnp.array([False]), h[1:] == h[:-1]]
+    ) & jnp.concatenate([jnp.array([False]), valid[:-1]])
+    boundary = valid & ~prev_same
+    # a shared element = a valid boundary row whose next row is the
+    # same hash from the other sketch (hashes are distinct within one
+    # sketch, so an equal-hash neighbor always has the other tag)
+    next_same = jnp.concatenate([h[1:] == h[:-1], jnp.array([False])])
+    next_valid = jnp.concatenate([valid[1:], jnp.array([False])])
+    shared = boundary & next_same & next_valid
 
-    # union rank of each element of A: #A<=a + #B<=a - #shared<=a
-    # #B <= a_i: number of B elements <= a_i = searchsorted right
-    leB_of_A = jnp.searchsorted(hB, hA, side="right")
-    leB_of_A = jnp.minimum(leB_of_A, lB)
-    rankA = (idx + 1) + leB_of_A - pref_sharedA
-    leA_of_B = jnp.searchsorted(hA, hB, side="right")
-    leA_of_B = jnp.minimum(leA_of_B, lA)
-    rankB = (idx + 1) + leA_of_B - pref_sharedB
-
+    rowrank = jnp.cumsum(boundary.astype(jnp.int32))
     L = jnp.minimum(lA, lB)
-    # t_exh element = last valid element of the array with smaller max;
-    # its union rank bounds the walk on stream exhaustion
     lastA = hA[jnp.clip(lA - 1, 0, s - 1)]
     lastB = hB[jnp.clip(lB - 1, 0, s - 1)]
-    rank_exh = jnp.where(
-        lastA <= lastB,
-        rankA[jnp.clip(lA - 1, 0, s - 1)],
-        rankB[jnp.clip(lB - 1, 0, s - 1)],
-    )
+    t_exh = jnp.minimum(lastA, lastB)
+    rank_exh = jnp.sum((boundary & (h <= t_exh)).astype(jnp.int32))
     processed = jnp.minimum(L, rank_exh)
 
-    inA = validA & (rankA <= processed)
-    inB = validB & (rankB <= processed)
-    shared_in = sharedA & (rankA <= processed)
-
+    include = valid & (rowrank <= processed)
+    sh_in = shared & (rowrank <= processed)
     distinct = processed
-    shared_distinct = jnp.sum(shared_in.astype(jnp.int64))
+    shared_distinct = jnp.sum(sh_in.astype(jnp.int64))
     nb_kmers = jnp.sum(
-        jnp.where(inA, cA.astype(jnp.int64), 0)
-    ) + jnp.sum(jnp.where(inB, cB.astype(jnp.int64), 0))
+        jnp.where(include, c.astype(jnp.int64), 0)
+    )
+    next_c = jnp.concatenate([c[1:], jnp.zeros(1, c.dtype)])
     shared_kmers = jnp.sum(
         jnp.where(
-            shared_in,
-            jnp.minimum(cA, cB_of_A).astype(jnp.int64),
-            0,
+            sh_in, jnp.minimum(c, next_c).astype(jnp.int64), 0
         )
     )
 
@@ -106,7 +111,22 @@ def _pair_kernel(hA, cA, lA, hB, cB, lB):
     return jaccard.astype(jnp.float32), braycurtis.astype(jnp.float32)
 
 
-_pair_batch = jax.jit(jax.vmap(_pair_kernel))
+@jax.jit
+def _pair_batch_gather(H1, C1, L1, H2, C2, L2, ii, jj):
+    """Gather the pair rows ON DEVICE (row gathers are contiguous
+    slices on TPU) and run the vmapped kernel: the [N, s] sketch
+    matrices ship once instead of [pair_batch, s] slices per batch --
+    at N=100, s=128k the per-batch re-shipping was ~16 GB over the
+    tunnel and crashed the worker."""
+    take = lambda M, idx: jnp.take(M, idx, axis=0)
+    return jax.vmap(_pair_kernel)(
+        take(H1, ii),
+        take(C1, ii),
+        jnp.take(L1, ii),
+        take(H2, jj),
+        take(C2, jj),
+        jnp.take(L2, jj),
+    )
 
 
 def pad_sketches(
@@ -130,7 +150,7 @@ def compute_distance_block_device(
     sketches1,
     sketches2,
     symmetric_diag_block: bool,
-    pair_batch: int = 256,
+    pair_batch: int = 0,
 ):
     """Drop-in device replacement for
     minhash.distance.compute_distance_block."""
@@ -140,9 +160,27 @@ def compute_distance_block_device(
         + [1]
     )
     s = 1 << (s - 1).bit_length()  # stable compile shape classes
+    if not pair_batch:
+        # bound per-batch intermediates (~10 arrays of
+        # [pair_batch, s]) to a few hundred MB of HBM
+        pair_batch = max(8, min(256, (1 << 23) // s))
     H1, C1, L1 = pad_sketches(sketches1, s)
     H2, C2, L2 = pad_sketches(sketches2, s)
     n1, n2 = len(sketches1), len(sketches2)
+
+    import jax as _jax
+
+    same = sketches2 is sketches1
+    d1 = (
+        _jax.device_put(H1),
+        _jax.device_put(C1),
+        _jax.device_put(L1),
+    )
+    d2 = d1 if same else (
+        _jax.device_put(H2),
+        _jax.device_put(C2),
+        _jax.device_put(L2),
+    )
 
     pairs = []
     for i in range(n1):
@@ -156,15 +194,10 @@ def compute_distance_block_device(
         n_real = len(chunk)
         while len(chunk) < pair_batch and pairs:
             chunk = chunk + [pairs[0]]  # pad batch to a stable shape
-        ii = np.array([p[0] for p in chunk])
-        jj = np.array([p[1] for p in chunk])
-        jv, bv = _pair_batch(
-            jnp.asarray(H1[ii]),
-            jnp.asarray(C1[ii]),
-            jnp.asarray(L1[ii]),
-            jnp.asarray(H2[jj]),
-            jnp.asarray(C2[jj]),
-            jnp.asarray(L2[jj]),
+        ii = np.array([p[0] for p in chunk], np.int32)
+        jj = np.array([p[1] for p in chunk], np.int32)
+        jv, bv = _pair_batch_gather(
+            *d1, *d2, jnp.asarray(ii), jnp.asarray(jj)
         )
         jv = np.asarray(jv)[:n_real]
         bv = np.asarray(bv)[:n_real]

@@ -51,9 +51,11 @@ def sketch_command(
     sf = SketchFile.create(
         output_path, kmer_size, sketch_size, seed, len(datasets)
     )
+    from concurrent.futures import ThreadPoolExecutor
+
     from simka_tpu.io.packed import PackedReadSource
 
-    for i, ds in enumerate(datasets):
+    def sketch_one(ds):
         # stream packed batches through the sketcher (native parse +
         # gatb 2-bit pack in one C pass; the source also satisfies the
         # raw-read provider protocol for the bloom/host fallbacks)
@@ -67,23 +69,27 @@ def sketch_command(
         if bloom_bits is not None:
             from simka_tpu.minhash.bloom import compute_sketch_bloom
 
-            hashes, counts = compute_sketch_bloom(
+            return compute_sketch_bloom(
                 source, kmer_size, sketch_size, seed, bloom_bits
             )
-        else:
-            hashes, counts = compute_sketch(
-                source,
-                kmer_size,
-                sketch_size,
-                seed,
-                use_filter,
-            )
-        sf.write_slot(i, hashes, counts)
-        if verbose:
-            print(
-                f"[simka-tpu min] sketched {ds.id}: "
-                f"{len(hashes)} sketch k-mers"
-            )
+        return compute_sketch(
+            source, kmer_size, sketch_size, seed, use_filter
+        )
+
+    # two samples in flight: sample i+1's parse/dispatch overlaps
+    # sample i's device work and its sketch-prefix fetch (the
+    # reference threads one SelectKmersCommand per dataset,
+    # SimkaMinCount.hpp:1085-1123; results stay order-deterministic)
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        futs = [ex.submit(sketch_one, ds) for ds in datasets]
+        for i, (ds, fut) in enumerate(zip(datasets, futs)):
+            hashes, counts = fut.result()
+            sf.write_slot(i, hashes, counts)
+            if verbose:
+                print(
+                    f"[simka-tpu min] sketched {ds.id}: "
+                    f"{len(hashes)} sketch k-mers"
+                )
     sf.write_ids([d.id for d in datasets])
     return sf
 

@@ -112,7 +112,6 @@ def compute_sketch(
 
     from simka_tpu.minhash.device import (
         FULL64,
-        count_before_device,
         hash_packed_batch,
         sketch_prefix_device,
         sketch_stream_step,
@@ -257,14 +256,28 @@ def compute_sketch(
     if pad:
         parts.append(jnp.full((pad,), FULL64))
     stream = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
-    hashes_d, cnt_d, ent_d, n_distinct_d, n_full64_d = (
+    hashes_d, cnt_d, _ent_d, n_distinct_d, n_full64_d = (
         sketch_prefix_device(
             stream, sketch_size=sketch_size, use_filter=use_filter
         )
     )
-    n_distinct = int(np.asarray(n_distinct_d))
-    total_valid = sum(int(np.asarray(v)) for v in n_valid_parts)
-    if int(np.asarray(n_full64_d)) != target - total_valid:
+    # ONE transfer for everything (the h_max heap-quirk correction is
+    # applied in-program): per-sample device round trips are the
+    # sketch phase's dominant cost over the tunnel at wide N
+    hashes_all, counts_all, n_distinct, n_full64, valid_parts = (
+        jax.device_get(
+            (
+                hashes_d,
+                cnt_d,
+                n_distinct_d,
+                n_full64_d,
+                n_valid_parts,
+            )
+        )
+    )
+    n_distinct = int(n_distinct)
+    total_valid = int(np.sum(np.asarray(valid_parts, np.int64)))
+    if int(n_full64) != target - total_valid:
         # a real k-mer hashed to all-ones: indistinguishable from
         # padding on device; recompute exactly on host
         return _compute_sketch_host(
@@ -274,27 +287,10 @@ def compute_sketch(
         return np.empty(0, np.uint64), np.empty(0, np.uint32)
 
     s = min(sketch_size, n_distinct)
-    hashes = np.asarray(hashes_d)[:s]
-    out_counts = np.asarray(cnt_d)[:s].astype(np.int64)
-    base = 2 if use_filter else 1
-    if n_distinct >= sketch_size and s >= 1:
-        # the largest member stops counting once every smaller member
-        # has entered the (full) heap (minhash/sketch.py module
-        # docstring; SimkaMinCount.hpp:324)
-        h_max = hashes[s - 1]
-        if s >= 2:
-            t_last = int(np.asarray(ent_d)[: s - 1].max())
-        else:
-            t_last = 0
-        n_before = int(
-            np.asarray(
-                count_before_device(
-                    stream, jnp.uint64(h_max), jnp.int32(t_last)
-                )
-            )
-        )
-        out_counts[s - 1] = max(base, n_before)
-    return hashes.copy(), out_counts.astype(np.uint32)
+    return (
+        np.asarray(hashes_all)[:s].copy(),
+        np.asarray(counts_all)[:s].astype(np.uint32),
+    )
 
 
 def _compute_sketch_host(
