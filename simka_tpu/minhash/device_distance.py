@@ -189,6 +189,10 @@ def compute_distance_block_device(
             pairs.append((i, j))
     jac = np.zeros((n1, n2), np.float32)
     bc = np.zeros((n1, n2), np.float32)
+    # dispatch EVERY batch before fetching any result: per-batch
+    # np.asarray syncs would serialize a tunnel round trip between
+    # sorts; deferring lets the device queue run back-to-back
+    results = []
     for start in range(0, len(pairs), pair_batch):
         chunk = pairs[start : start + pair_batch]
         n_real = len(chunk)
@@ -199,9 +203,10 @@ def compute_distance_block_device(
         jv, bv = _pair_batch_gather(
             *d1, *d2, jnp.asarray(ii), jnp.asarray(jj)
         )
+        results.append((ii[:n_real], jj[:n_real], n_real, jv, bv))
+    for ii, jj, n_real, jv, bv in results:
         jv = np.asarray(jv)[:n_real]
         bv = np.asarray(bv)[:n_real]
-        ii, jj = ii[:n_real], jj[:n_real]
         jac[ii, jj] = jv
         bc[ii, jj] = bv
         if symmetric_diag_block:
