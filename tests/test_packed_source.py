@@ -116,3 +116,89 @@ def test_long_read_width_growth(tmp_path):
     p, v = host_pack_chunk(reads, k)
     ref = _kmer_multiset([(p, v, len(reads), None)], k)
     np.testing.assert_array_equal(got, ref)
+
+
+def test_fastq_gz_packed_matches_python(tmp_path):
+    """FASTQ and gzip inputs through the native packed reader must
+    yield the same k-mer multiset as the Python stream."""
+    import gzip
+
+    rng = np.random.default_rng(19)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    reads = [
+        bytes(rng.choice(bases, size=int(rng.integers(40, 90))))
+        for _ in range(60)
+    ]
+    fq = tmp_path / "x.fastq"
+    with open(fq, "wb") as f:
+        for i, r in enumerate(reads):
+            f.write(b"@r%d\n%s\n+\n%s\n" % (i, r, b"I" * len(r)))
+    fqgz = tmp_path / "x.fastq.gz"
+    with open(fq, "rb") as src, gzip.open(fqgz, "wb") as dst:
+        dst.write(src.read())
+
+    k = 21
+    p, v = host_pack_chunk(reads, k)
+    ref = _kmer_multiset([(p, v, len(reads), None)], k)
+    for path in (fq, fqgz):
+        src = PackedReadSource([[str(path)]])
+        got = _kmer_multiset(src.iter_packed(16, k=k), k)
+        np.testing.assert_array_equal(got, ref, err_msg=str(path))
+
+
+def test_multiword_k_through_packed_pipeline(tmp_path):
+    """k=63 (multi-word) end-to-end through run_simka's default path,
+    which now ingests via native packed batches: must match the
+    list-based compute_statistics result bit-for-bit."""
+    import gzip
+
+    from simka_tpu.config import SimkaConfig
+    from simka_tpu.core.pipeline import compute_statistics, run_simka
+
+    rng = np.random.default_rng(29)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    samples = []
+    paths = []
+    for si in range(2):
+        reads = [bytes(rng.choice(bases, size=90)) for _ in range(80)]
+        samples.append(reads)
+        f = tmp_path / f"s{si}.fasta"
+        with open(f, "wb") as fh:
+            for i, r in enumerate(reads):
+                fh.write(b">r%d\n%s\n" % (i, r))
+        paths.append(f)
+    inp = tmp_path / "input.txt"
+    inp.write_text("".join(f"S{i}: {p}\n" for i, p in enumerate(paths)))
+
+    ref_stats = compute_statistics(
+        samples,
+        ["S0", "S1"],
+        SimkaConfig(kmer_size=63, abundance_min=1, verbose=False, n_shards=1),
+    )
+
+    out = tmp_path / "out"
+    run_simka(
+        SimkaConfig(
+            input_filename=str(inp),
+            output_dir=str(out),
+            kmer_size=63,
+            abundance_min=1,
+            verbose=False,
+            n_shards=1,
+        )
+    )
+    # the pipeline's matrices derive from the same accumulators;
+    # compare the bray-curtis matrix against one recomputed from the
+    # reference stats
+    from simka_tpu.core.distances import compute_all_matrices
+
+    ref_mats = compute_all_matrices(ref_stats)
+    got = gzip.open(
+        out / "mat_abundance_braycurtis.csv.gz", "rt"
+    ).read()
+    from simka_tpu.core.output import format_matrix_csv
+
+    want = format_matrix_csv(
+        ref_mats["mat_abundance_braycurtis"], ["S0", "S1"]
+    )
+    assert got == want
