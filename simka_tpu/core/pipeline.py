@@ -567,14 +567,14 @@ def _compute_statistics_sharded_device(
 
     stream = _packed_batch_stream(
         dataset_seqs, dataset_ids, k, nb_reads, log, batch_reads,
-        timers=timers,
+        timers=timers, coalesce=True,
     )
 
     def ship(item):
-        s, packed, vb, n_valid = item
+        sid_row, packed, vb, n_valid = item
         t0 = time.perf_counter()
         out = (
-            s,
+            jax.device_put(sid_row, replicated),
             jax.device_put(packed, replicated),
             jax.device_put(vb, replicated),
             n_valid,
@@ -582,7 +582,7 @@ def _compute_statistics_sharded_device(
         timers["h2d_s"] += time.perf_counter() - t0
         return out
 
-    def consume(s, packed, validbits, n_valid):
+    def consume(sid_row, packed, validbits, n_valid):
         t0 = time.perf_counter()
         n_windows = packed.shape[0] * packed.shape[1] * 4
         # the native parser's exact valid-window count shrinks the
@@ -591,16 +591,17 @@ def _compute_statistics_sharded_device(
         cap = route_capacity(
             n_windows if n_valid is None else n_valid, n_shards
         )
-        words_sh, n_kept = route_packed_batch(
+        words_sh, sid_sh, n_kept = route_packed_batch(
             packed,
             validbits,
+            sid_row,
             k,
             mesh=mesh,
             n_shards=n_shards,
             cap=cap,
             min_kmer_shannon_index=config.min_kmer_shannon_index,
         )
-        batches.append((words_sh, n_kept, cap, s))
+        batches.append((words_sh, sid_sh, n_kept, cap))
         timers["extract_dispatch_s"] += time.perf_counter() - t0
         state["cap_sum"] += cap
         if state["cap_sum"] > rows_budget:
@@ -616,7 +617,7 @@ def _compute_statistics_sharded_device(
     if not batches:
         return None
     shard_hist = np.zeros(n_shards, np.int64)
-    for _, n_kept, cap, _ in batches:
+    for _, _, n_kept, cap in batches:
         kept = np.asarray(n_kept)
         shard_hist += kept.astype(np.int64)
         if int(kept.max()) > cap:
@@ -627,7 +628,7 @@ def _compute_statistics_sharded_device(
         observer["repartition_instances"] = shard_hist
 
     nw = len(batches[0][0])
-    total = sum(b[2] for b in batches)
+    total = sum(b[3] for b in batches)
     target = pad_size_class(total)
     pad = target - total
     word_cols = []
@@ -640,13 +641,15 @@ def _compute_statistics_sharded_device(
                 )
             )
         word_cols.append(jnp.concatenate(cols, axis=1))
-    # the sample-id row is identical on every shard (each column block
-    # is one sample's batch); ship it once, replicated
-    sid_row = np.concatenate(
-        [np.full(b[2], b[3], np.int32) for b in batches]
-        + ([np.zeros(pad, np.int32)] if pad else [])
-    )
-    sid_rep = jax.device_put(sid_row, replicated)
+    # sample ids were routed alongside the words (batches hold mixed
+    # samples since the coalescing ingest), so the sid column is a
+    # device-resident sharded array -- nothing ships from the host
+    sid_cols = [b[1] for b in batches]
+    if pad:
+        sid_cols.append(
+            device_fill(mesh, (n_shards, pad), 0, np.int32)
+        )
+    sid_sh = jnp.concatenate(sid_cols, axis=1)
 
     join = (
         sharded_count_join_stats_split
@@ -656,7 +659,7 @@ def _compute_statistics_sharded_device(
     t_join = time.perf_counter()
     js = join(
         tuple(word_cols),
-        sid_rep,
+        sid_sh,
         config.abundance_min,
         config.abundance_max,
         mesh=mesh,
@@ -664,7 +667,6 @@ def _compute_statistics_sharded_device(
         simple=config.simple_dist,
         complex_=config.complex_dist,
         hi_bits=max(0, 2 * k - 32) if k <= 31 else 32,
-        sid_replicated=True,
     )
     stats = SimkaStatistics.from_join_stats(
         js,

@@ -121,19 +121,14 @@ def sharded_count_join_stats(
     simple: bool = False,
     complex_: bool = False,
     hi_bits: int = 32,
-    sid_replicated: bool = False,
 ) -> JoinStats:
     """Run the fused count/join on every shard and psum-reduce.
 
     Inputs are tuples of [n_shards, E_shard] word arrays laid out along
-    the mesh's 'shards' axis. Every JoinStats field is additive over
-    disjoint k-mer sets, so a single psum yields global statistics.
-
-    ``sid_replicated``: the device-resident ingest (route_packed_batch)
-    produces a sample-id row that is IDENTICAL across shards (each
-    column block comes from one sample's read batch on every shard), so
-    it ships once as a replicated [E_shard] row instead of a
-    [n_shards, E_shard] matrix.
+    the mesh's 'shards' axis (the device-routed ingest also routes the
+    sample ids, so ``sid_sh`` is a sharded matrix too). Every
+    JoinStats field is additive over disjoint k-mer sets, so a single
+    psum yields global statistics.
     """
     words_sh = tuple(words_sh)
     nw = len(words_sh)
@@ -143,7 +138,7 @@ def sharded_count_join_stats(
         mesh=mesh,
         in_specs=(
             tuple(P("shards") for _ in range(nw)),
-            P() if sid_replicated else P("shards"),
+            P("shards"),
             P(),
             P(),
         ),
@@ -157,7 +152,7 @@ def sharded_count_join_stats(
         return count_join_stats(
             tuple(w[0] for w in words[:-1]),
             words[-1][0],
-            sid if sid_replicated else sid[0],
+            sid[0],
             amin,
             amax,
             n_banks=n_banks,
@@ -280,7 +275,6 @@ def sharded_count_join_stats_split(
     complex_: bool = False,
     count_bits: int = 32,
     hi_bits: int = 32,
-    sid_replicated: bool = False,
 ) -> JoinStats:
     """Singleton-pruned two-program variant of sharded_count_join_stats
     (the reference's nbBankThatHaveKmer > 1 insert gate composed with
@@ -295,7 +289,7 @@ def sharded_count_join_stats_split(
         mesh=mesh,
         in_specs=(
             tuple(P("shards") for _ in range(nw)),
-            P() if sid_replicated else P("shards"),
+            P("shards"),
             P(),
             P(),
         ),
@@ -305,7 +299,7 @@ def sharded_count_join_stats_split(
         pre = count_join_prejoin(
             tuple(w[0] for w in words[:-1]),
             words[-1][0],
-            sid if sid_replicated else sid[0],
+            sid[0],
             amin,
             amax,
             n_banks=n_banks,
@@ -453,14 +447,21 @@ def _route_program(
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P()),
+        in_specs=(P(), P(), P()),
         out_specs=(
             tuple(P("shards", None) for _ in range(nw)),
+            P("shards", None),
             P("shards"),
         ),
     )
-    def route(packed, validbits):
+    def route(packed, validbits, row_sid):
         words = extract_packed(packed, validbits, k, multi=k > 31)
+        # per-row sample ids broadcast to windows and ROUTED alongside
+        # the words: batches may hold several samples (the wide-N
+        # ingest coalesces them to amortize dispatch latency)
+        sid = jnp.broadcast_to(
+            row_sid[:, None], words[0].shape
+        ).ravel()
         words = tuple(w.ravel() for w in words)
         if min_kmer_shannon_index > 0.0:
             from simka_tpu.ops.kmers import kmer_shannon_index_words
@@ -480,14 +481,15 @@ def _route_program(
             h % jnp.uint32(n_shards) == my
         )
         comp = compact_rows(
-            words,
+            (*words, sid),
             keep,
-            fills=(0xFFFFFFFF,) * nw,
+            fills=(0xFFFFFFFF,) * nw + (0,),
             vary_axes=("shards",),
         )
         n_kept = jnp.sum(keep.astype(jnp.int32))
         return (
-            tuple(c[:cap][None, :] for c in comp),
+            tuple(c[:cap][None, :] for c in comp[:nw]),
+            comp[nw][:cap][None, :],
             n_kept[None],
         )
 
@@ -497,6 +499,7 @@ def _route_program(
 def route_packed_batch(
     packed,
     validbits,
+    row_sid,
     k: int,
     *,
     mesh: Mesh,
@@ -517,16 +520,16 @@ def route_packed_batch(
     equivalent shuffle is the Repartitor-driven partition-file write,
     src/SimkaPotara.hpp:713-723).
 
-    Returns (words_sh, n_kept): a tuple of [n_shards, cap] uint32 word
-    arrays laid out on the mesh (SENTINEL-padded), plus the exact
-    per-shard kept counts [n_shards] for overflow detection
-    (n_kept > cap means the slice dropped rows and the caller must
-    fall back to exact host routing).
+    Returns (words_sh, sid_sh, n_kept): tuples of [n_shards, cap]
+    arrays laid out on the mesh (SENTINEL-padded words, routed sample
+    ids), plus the exact per-shard kept counts [n_shards] for
+    overflow detection (n_kept > cap means the slice dropped rows and
+    the caller must fall back to exact host routing).
     """
     route = _route_program(
         mesh, k, n_shards, cap, min_kmer_shannon_index
     )
-    return route(packed, validbits)
+    return route(packed, validbits, row_sid)
 
 
 def shard_rows_by_hash(words, sid, counts, n_shards: int):
