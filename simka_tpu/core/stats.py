@@ -97,6 +97,19 @@ class SimkaStatistics:
           log2 * ((K_i - sharedK[i][j])/K_i + (K_j - sharedK[j][i])/K_j).
         """
         n = len(dataset_ids)
+        # ONE transfer for every accumulator: per-field np.asarray was
+        # ~14 sequential device round trips, a visible fraction of
+        # end-to-end wall-clock on a high-latency link
+        try:
+            import jax
+
+            if any(
+                isinstance(getattr(js, f), jax.Array)
+                for f in js._fields
+            ):
+                js = type(js)(*jax.device_get(tuple(js)))
+        except ImportError:  # pragma: no cover - jax always present
+            pass
         solid = np.asarray(js.solid_per_bank, np.int64)
         distinct = np.asarray(js.distinct_per_bank, np.int64)
         ab = np.asarray(js.shared_kmers_ab, np.int64)
