@@ -236,7 +236,23 @@ def _compute_statistics_out_of_core(
             min_kmer_shannon_index=config.min_kmer_shannon_index,
         )
         if spill is None:
+            # provision ranges from the WORSE of (a) the first
+            # sample's spectrum projected over all samples and (b)
+            # the up-front file-size instance estimate: a small first
+            # dataset must not under-provision the sweep for larger
+            # later ones (ADVICE r4 #2) -- ranges cannot be re-split
+            # once spilling starts, and over-provisioning only costs
+            # extra (cheaper) sweep passes
             projected = max(int(len(counts) * n * 1.3), 1)
+            if all(hasattr(s, "banks") for s in dataset_seqs):
+                from simka_tpu.core.budget import (
+                    estimate_total_instances,
+                )
+
+                projected = max(
+                    projected,
+                    estimate_total_instances(dataset_seqs),
+                )
             n_ranges = max(1, -(-projected // budget_rows))
             if config.output_tmp_dir:
                 spill = SpectrumSpill(config.output_tmp_dir, n_ranges)

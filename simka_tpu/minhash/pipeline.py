@@ -55,17 +55,44 @@ def sketch_command(
 
     from simka_tpu.io.packed import PackedReadSource
 
-    def sketch_one(ds):
-        # stream packed batches through the sketcher (native parse +
-        # gatb 2-bit pack in one C pass; the source also satisfies the
-        # raw-read provider protocol for the bloom/host fallbacks)
-        source = PackedReadSource(
+    def make_source(ds):
+        return PackedReadSource(
             ds.banks,
             min_read_size,
             min_read_shannon_index,
             max_reads=max_reads,
             encoding="gatb",
         )
+
+    if bloom_bits is None and len(datasets) >= 2:
+        # coalesced multi-sample path: every sample's packed reads
+        # ride shared device batches and ONE fused program + ONE
+        # transfer produce all sketches (minhash/sketch.py;
+        # per-sample round trips dominated wide-N runs)
+        from simka_tpu.minhash.sketch import compute_sketches_batched
+
+        batched = compute_sketches_batched(
+            [make_source(ds) for ds in datasets],
+            kmer_size, sketch_size, seed, use_filter,
+        )
+        if batched is not None:
+            for i, (ds, (hashes, counts)) in enumerate(
+                zip(datasets, batched)
+            ):
+                sf.write_slot(i, hashes, counts)
+                if verbose:
+                    print(
+                        f"[simka-tpu min] sketched {ds.id}: "
+                        f"{len(hashes)} sketch k-mers"
+                    )
+            sf.write_ids([d.id for d in datasets])
+            return sf
+
+    def sketch_one(ds):
+        # stream packed batches through the sketcher (native parse +
+        # gatb 2-bit pack in one C pass; the source also satisfies the
+        # raw-read provider protocol for the bloom/host fallbacks)
+        source = make_source(ds)
         if bloom_bits is not None:
             from simka_tpu.minhash.bloom import compute_sketch_bloom
 

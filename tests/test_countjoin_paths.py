@@ -63,14 +63,14 @@ def test_packed_path_matches_generic(n_banks, hi_bits, amin, amax):
 
 @pytest.mark.parametrize(
     "n_banks,amin",
-    [(2, 1), (3, 1), (8, 1), (8, 2), (16, 2), (24, 1), (32, 2), (64, 1)],
+    [(2, 1), (3, 1), (8, 1), (8, 2), (16, 2), (64, 1)],
 )
 def test_pairbin_path_matches_shift_loop(n_banks, amin):
     """Default channels take the pair-bin MXU path (N <=
-    PAIRBIN_MAX_BANKS; 24/32 exercise the multi-block bins, the
-    larger-N case guards the shared loop path); running with
-    simple+complex forces the per-shift loop, which computes the same
-    default fields -- they must agree bit-for-bit."""
+    PAIRBIN_MAX_BANKS; the larger-N case guards the shared loop
+    path); running with simple+complex forces the per-shift loop,
+    which computes the same default fields -- they must agree
+    bit-for-bit."""
     rng = np.random.default_rng(7)
     hi, lo, sid = _random_instances(rng, 8192, n_banks, 10, 200)
     a = count_join_stats(
@@ -81,6 +81,40 @@ def test_pairbin_path_matches_shift_loop(n_banks, amin):
         hi, lo, sid, jnp.int32(amin), jnp.int64(10**9),
         n_banks=n_banks, hi_bits=10, simple=True, complex_=True,
     )
+    for name in DEFAULT_FIELDS:
+        ga, gb = np.asarray(getattr(a, name)), np.asarray(
+            getattr(b, name)
+        )
+        assert np.array_equal(ga, gb), (name, ga, gb)
+
+
+@pytest.mark.parametrize("n_banks,amin", [(24, 1), (32, 2)])
+def test_pairbin_multi_block_matches_shift_loop(
+    n_banks, amin, monkeypatch
+):
+    """The multi-block (> 128 triangle lanes) pair-bin regime is
+    auto-off (PAIRBIN_MAX_BANKS=16: the chip A/B measured it losing),
+    so force the threshold up to actually exercise that einsum branch
+    against the per-shift loop (ADVICE r4 #1: the plain N=24/32
+    params compared the loop against itself)."""
+    from simka_tpu.ops import countjoin
+
+    monkeypatch.setattr(countjoin, "PAIRBIN_MAX_BANKS", 32)
+    count_join_stats.clear_cache()
+    try:
+        rng = np.random.default_rng(7)
+        hi, lo, sid = _random_instances(rng, 8192, n_banks, 10, 200)
+        a = count_join_stats(
+            hi, lo, sid, jnp.int32(amin), jnp.int64(10**9),
+            n_banks=n_banks, hi_bits=10,
+        )
+        b = count_join_stats(
+            hi, lo, sid, jnp.int32(amin), jnp.int64(10**9),
+            n_banks=n_banks, hi_bits=10, simple=True, complex_=True,
+        )
+    finally:
+        # drop traces specialized on the patched threshold
+        count_join_stats.clear_cache()
     for name in DEFAULT_FIELDS:
         ga, gb = np.asarray(getattr(a, name)), np.asarray(
             getattr(b, name)
