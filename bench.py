@@ -45,6 +45,43 @@ import numpy as np
 CPU_SIMKA_BASELINE_KMERS_PER_SEC = 10_000_000.0
 
 
+def measure_cpu_baseline():
+    """Measure the multicore C++ count+merge baseline on THIS host
+    (scripts/profiling/cpu_baseline.cpp; verified statistic-exact vs
+    ops.countjoin in tests/test_cpu_baseline.py). Returns a dict with
+    the measured kmers/s and thread count, or {} when the toolchain
+    is unavailable (vs_baseline then falls back to the literature
+    anchor, labeled as such)."""
+    import subprocess
+
+    src = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "scripts", "profiling", "cpu_baseline.cpp",
+    )
+    exe = src[:-4]
+    try:
+        if not (
+            os.path.exists(exe)
+            and os.path.getmtime(exe) >= os.path.getmtime(src)
+        ):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-pthread", src,
+                 "-o", exe],
+                check=True, capture_output=True, timeout=180,
+            )
+        out = subprocess.run(
+            [exe, "24", "8", "3"],
+            check=True, capture_output=True, timeout=600, text=True,
+        ).stdout
+        d = json.loads(out.splitlines()[-1])
+        return {
+            "cpu_baseline_kmers_per_sec": d["cpu_kmers_per_sec"],
+            "cpu_baseline_threads": d["threads"],
+        }
+    except Exception:
+        return {}
+
+
 def run_kernel_bench():
     import functools
 
@@ -86,11 +123,25 @@ def run_kernel_bench():
     dt = (time.perf_counter() - t0) / iters
 
     rate = E / dt
+    # vs_baseline divides by a MEASURED number when the host baseline
+    # builds (VERDICT r4 next-step 4); the 10M literature anchor is
+    # reported alongside, explicitly labeled
+    cpu = measure_cpu_baseline()
+    base = cpu.get(
+        "cpu_baseline_kmers_per_sec", CPU_SIMKA_BASELINE_KMERS_PER_SEC
+    )
     return {
         "metric": "kmers_counted_joined_per_sec_per_chip",
         "value": round(rate, 1),
         "unit": "kmers/s",
-        "vs_baseline": round(rate / CPU_SIMKA_BASELINE_KMERS_PER_SEC, 3),
+        "vs_baseline": round(rate / base, 3),
+        "vs_baseline_kind": (
+            "measured_host_cpp" if cpu else "literature_anchor"
+        ),
+        "vs_anchor_10M": round(
+            rate / CPU_SIMKA_BASELINE_KMERS_PER_SEC, 3
+        ),
+        **cpu,
     }
 
 
