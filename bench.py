@@ -370,6 +370,96 @@ def bench_min_wide_n():
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bench_out_of_core(deadline):
+    """At-scale out-of-core proof (VERDICT r4 next-step 5): N=32
+    samples whose instance stream exceeds the REAL device HBM plan
+    (no test-forced tiny budgets), driving the hash-range sweep
+    (core/sweep.py) end-to-end on the chip. Records wall-clock, the
+    range count actually used, and the stage breakdown."""
+    from simka_tpu.config import SimkaConfig
+    from simka_tpu.core.budget import instance_rows_budget
+    from simka_tpu.core.pipeline import run_simka
+
+    budget = instance_rows_budget(2, 1)
+    n_samples, read_len, k = 32, 100, 21
+    # ~1.5x the device plan in k-mer instances
+    n_reads = max(
+        int(1.5 * budget) // (n_samples * (read_len - k + 1)), 1000
+    )
+    total_instances = n_samples * n_reads * (read_len - k + 1)
+    # generous wall estimate: ingest ~ instances/3e7 s, sweep joins
+    # ~2x that; bail early rather than lose the line to the watchdog
+    if time.monotonic() + total_instances / 8e6 > deadline:
+        return {
+            "ooc_skipped": "deadline",
+            "ooc_planned_instances": total_instances,
+        }
+    rng = np.random.default_rng(13)
+    tmp = tempfile.mkdtemp(prefix="simka_bench_ooc_")
+    try:
+        bases = np.frombuffer(b"ACGT", np.uint8)
+        shared = bases[rng.integers(0, 4, size=(4096, read_len))]
+        lines = []
+        hdr = np.frombuffer(b">r\n", np.uint8)
+        for s in range(n_samples):
+            path = os.path.join(tmp, f"S{s}.fasta")
+            own = bases[
+                rng.integers(0, 4, size=(n_reads, read_len))
+            ]
+            pick = rng.random(n_reads) < 0.3
+            rows = np.where(
+                pick[:, None],
+                shared[rng.integers(0, len(shared), n_reads)],
+                own,
+            )
+            # block FASTA assembly (no per-read Python loop at this
+            # scale): [n_reads, 3 + read_len + 1] byte matrix
+            rec = np.empty((n_reads, len(hdr) + read_len + 1), np.uint8)
+            rec[:, : len(hdr)] = hdr
+            rec[:, len(hdr) : len(hdr) + read_len] = rows
+            rec[:, -1] = ord("\n")
+            with open(path, "wb") as f:
+                f.write(rec.tobytes())
+            lines.append(f"S{s}: {path}")
+        input_txt = os.path.join(tmp, "input.txt")
+        with open(input_txt, "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+        out = os.path.join(tmp, "out")
+        t0 = time.perf_counter()
+        run_simka(
+            SimkaConfig(
+                input_filename=input_txt,
+                output_dir=out,
+                kmer_size=k,
+                abundance_min=1,
+                verbose=False,
+                n_shards=1,
+            )
+        )
+        dt = time.perf_counter() - t0
+        res = {
+            "ooc_n_samples": n_samples,
+            "ooc_instances": total_instances,
+            "ooc_device_plan_rows": budget,
+            "ooc_wall_s": round(dt, 2),
+            "ooc_kmers_per_sec": round(total_instances / dt, 1),
+        }
+        try:
+            with open(os.path.join(out, "simka_metrics.json")) as f:
+                m = json.load(f)
+            res["ooc_sweep_ranges"] = m.get("counters", {}).get(
+                "sweep_ranges", 0
+            )
+            for kk, v in m.get("stages", {}).items():
+                res[f"ooc_stage_{kk}_s"] = round(v, 2)
+        except Exception:
+            pass
+        return res
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main():
     kernel = run_kernel_bench()
     print(json.dumps(kernel), flush=True)
@@ -427,6 +517,12 @@ def main():
         extra.update(bench_min_wide_n())
     except Exception as e:  # pragma: no cover - defensive
         extra["min_nxn_error"] = repr(e)[:200]
+    print(json.dumps({**kernel, **extra}), flush=True)
+    release_device()
+    try:
+        extra.update(bench_out_of_core(deadline - 5.0))
+    except Exception as e:  # pragma: no cover - defensive
+        extra["ooc_error"] = repr(e)[:200]
     watchdog.cancel()
     print(json.dumps({**kernel, **extra}), flush=True)
 

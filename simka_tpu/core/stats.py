@@ -129,37 +129,24 @@ class SimkaStatistics:
         kl_p = np.asarray(js.kullback_leibler, np.float64)
         kl = kl_p + kl_p.T
         if compute_complex and n:
-            # The reference's per-kmer Whittaker single-presence term
-            # abs((int)(u64)(c * K_j)) wraps to int32 when c * K_j >=
-            # 2^31 (SimkaAlgorithm.hpp:505); the closed form below sums
-            # the UNwrapped values (PARITY.md divergence 3). Warn when
-            # the data actually reaches that regime.
-            max_c = int(np.asarray(getattr(js, "max_count", 0)))
-            if max_c * int(solid.max(initial=0)) >= 2**31:
-                import warnings
-
-                warnings.warn(
-                    "whittaker: per-kmer counts reach the int32-wrap "
-                    "regime of the reference's single-presence "
-                    "accumulator; exact-mode whittaker values may "
-                    "diverge from reference output (PARITY.md "
-                    "divergence 3). This check is deliberately "
-                    "conservative (it bounds c * K_j by the global "
-                    "max count times the global max solid total, "
-                    "which includes the count's own bank) -- it never "
-                    "misses a reachable wrap but can fire when none "
-                    "is reachable on skewed datasets.",
-                    RuntimeWarning,
-                    stacklevel=2,
-                )
+            # Whittaker with the reference's EXACT int32 wrap on every
+            # term, single-presence included (SimkaAlgorithm.hpp:481,
+            # 505; closes PARITY divergence 3): the per-kmer all-rows
+            # channel A counts every solid row against every other
+            # bank's total as |int32(u64(c*K_j))|; co-present pairs
+            # must instead contribute the wrapped DIFFERENCE, so their
+            # s1+s2 is removed and the pair channel w restored:
+            # W = A + A^T - (S12 + S12^T) + (w + w^T).
             K_i = solid[:, None].astype(np.float64)
             K_j = solid[None, :].astype(np.float64)
             only_i = (solid[:, None] - shared_kmers).astype(np.float64)
             only_j = (solid[None, :] - shared_kmers.T).astype(np.float64)
             off = ~np.eye(n, dtype=bool)
-            whitt = whitt + np.where(
-                off, only_i * K_j + only_j * K_i, 0.0
-            ).astype(np.int64)
+            A = np.asarray(js.whittaker_all, np.int64)
+            S12 = np.asarray(js.whittaker_s12, np.int64)
+            whitt = np.where(
+                off, A + A.T - (S12 + S12.T) + whitt, 0
+            )
             with np.errstate(divide="ignore", invalid="ignore"):
                 kl_single = np.log(2.0) * (
                     np.where(K_i > 0, only_i / K_i, 0.0)

@@ -106,12 +106,20 @@ def compact_rows(
             jax.lax.pcast(o, vary_axes, to="varying") for o in outs
         )
 
-    def body(b, outs):
-        off = offs[b]
-        return tuple(
-            jax.lax.dynamic_update_slice(o, v[b], (off,))
-            for o, v in zip(outs, vals)
-        )
+    from simka_tpu.ops.pallas_compact import gapclose, pallas_available
 
-    outs = jax.lax.fori_loop(0, nblocks, body, outs)
+    if pallas_available():
+        # one grid traversal of dynamic-offset DMAs instead of
+        # nblocks sequential dynamic_update_slice dispatches (the
+        # loop overhead, not the bytes, dominated this phase)
+        outs = gapclose(offs[:nblocks], outs, vals, block)
+    else:
+        def body(b, outs):
+            off = offs[b]
+            return tuple(
+                jax.lax.dynamic_update_slice(o, v[b], (off,))
+                for o, v in zip(outs, vals)
+            )
+
+        outs = jax.lax.fori_loop(0, nblocks, body, outs)
     return tuple(o[:E] for o in outs)

@@ -114,13 +114,23 @@ class JoinStats(NamedTuple):
     chord_ninj: jnp.ndarray  # [N, N] f64 upper: sum Ca*Cb (simple)
     hellinger: jnp.ndarray  # [N, N] i64 upper: sum isqrt(Ca*Cb) (simple)
     whittaker: jnp.ndarray  # [N, N] i64 upper, int32-wrap pair terms (complex)
+    # Whittaker per-k-mer channels with the reference's exact int32
+    # wrap, including SINGLE-presence terms (SimkaAlgorithm.hpp:481,
+    # 505: abs((int)((u64)(cI*K_j) - (u64)(cJ*K_i))), one abundance 0
+    # in the single branches). whittaker_all[i][j] (ordered, full) =
+    # sum over ALL solid rows (k, i, c) of |int32(u64(c*K_j))|;
+    # whittaker_s12 (upper) = sum over CO-PRESENT pairs of
+    # |int32(u64(cI*K_j))| + |int32(u64(cJ*K_i))|. The finalizer
+    # assembles W = A + A^T - (S12 + S12^T) + (w + w^T): the A terms
+    # over-count shared k-mers as if they were single-presence, S12
+    # removes exactly that, w restores the wrapped-difference pair
+    # term -- closing PARITY divergence 3 without a warning.
+    whittaker_all: jnp.ndarray  # [N, N] i64 ordered (complex)
+    whittaker_s12: jnp.ndarray  # [N, N] i64 upper (complex)
     kullback_leibler: jnp.ndarray  # [N, N] f64 upper pair terms (complex)
-    max_count: jnp.ndarray  # scalar i64: max per-(kmer, bank) count.
-    # Diagnostic for the Whittaker single-presence closed form, which
-    # (unlike the pair terms) does NOT emulate the reference's int32
-    # wrap (SimkaAlgorithm.hpp:505; PARITY.md divergence 3) -- the
-    # finalizer warns when counts reach the wrapping regime. pmax, not
-    # psum, under sharding.
+    max_count: jnp.ndarray  # scalar i64: max per-(kmer, bank) count;
+    # drives the runtime einsum limb level. pmax, not psum, under
+    # sharding.
 
 
 def _suffix_min(x):
@@ -210,6 +220,66 @@ def _pair_bin_int(
             )
         out = term if out is None else out + term
     return out
+
+
+def _abs_wrap32(prod_f64):
+    """|int32 reinterpretation of (u64)(double product)| as int64.
+
+    The reference's Whittaker accumulators cast a DOUBLE product to
+    u64 and truncate to signed int32 (SimkaAlgorithm.hpp:481, 505);
+    f64 mod 2^32 of the same rounded product is exact (the difference
+    of two f64s agreeing in their high bits), so this matches the
+    reference bit-for-bit including the double rounding itself."""
+    low = jnp.mod(prod_f64, 2.0**32)
+    signed = jnp.where(low >= 2.0**31, low - 2.0**32, low)
+    return jnp.abs(signed).astype(jnp.int64)
+
+
+def _whittaker_all_banks(sid_m, cnt_m, K, *, n_banks: int):
+    """A[i][j] = sum over solid rows (k, i, c) of |int32(u64(c*K_j))|.
+
+    The exact-wrap replacement of the old UNwrapped single-presence
+    closed form (PARITY.md divergence 3): per j-block, the wrapped
+    values are limb-split into 8-bit lanes and contracted against the
+    bank one-hot on the MXU (exact: one-hot x <=255 operands, panel
+    sums < 2^21 in the f32 accumulator).
+
+    ``sid_m``/``cnt_m``: per-row bank and count with dropped rows
+    masked to the sentinel bank N / count 0. ``K``: GLOBAL per-bank
+    solid totals. Runs only under complex_ (static).
+    """
+    N = n_banks
+    oh = (
+        _panels(sid_m, fill=N)[..., None]
+        == jnp.arange(N, dtype=jnp.int32)[None, None, :]
+    ).astype(jnp.float32)
+    cnt_p = _panels(cnt_m).astype(jnp.float64)
+    blocks = []
+    JB = 8  # j-block width bounds the [nb, B, JB] wrapped-value temp
+    for j0 in range(0, N, JB):
+        Kb = K[j0 : j0 + JB].astype(jnp.float64)
+        v = _abs_wrap32(cnt_p[..., None] * Kb[None, None, :])
+        blk = None
+        for limb in range(4):  # values < 2^31
+            lv = ((v >> (8 * limb)) & 0xFF).astype(jnp.float32)
+            part = (
+                jnp.einsum(
+                    "bri,brj->bij",
+                    oh,
+                    lv,
+                    preferred_element_type=jnp.float32,
+                )
+                .astype(jnp.int64)
+                .sum(axis=0)
+                << (8 * limb)
+            )
+            blk = part if blk is None else blk + part
+        blocks.append(blk)
+    return (
+        blocks[0]
+        if len(blocks) == 1
+        else jnp.concatenate(blocks, axis=1)
+    )
 
 
 def _pair_bin_float(oh_a, oh_b, values_f64):
@@ -527,6 +597,10 @@ class Prejoin(NamedTuple):
     distinct_per_bank: jnp.ndarray
     solid_per_bank: jnp.ndarray
     chord_n2_per_bank: jnp.ndarray
+    # [N, N] i64: the exact-wrap Whittaker all-rows term (must see
+    # EVERY solid row, so it lives in program A, not the shared-only
+    # program B); zeros unless complex_
+    whittaker_all: jnp.ndarray
     max_count: jnp.ndarray
 
 
@@ -540,8 +614,15 @@ def _prejoin_from_rows(
     vary_axes: tuple,
     psum_axis: str,
     rows_compacted: bool,
+    complex_: bool = False,
+    solid_override=None,
 ) -> Prejoin:
-    """Totals + compaction + singleton-segment drop (program A)."""
+    """Totals + compaction + singleton-segment drop (program A).
+
+    ``complex_`` also computes the exact-wrap Whittaker all-rows term
+    here (it needs every solid row; program B only sees shared rows);
+    ``solid_override`` injects GLOBAL per-bank totals for it when this
+    program only sees one hash range (the out-of-core sweep)."""
     nw = len(words)
     N = n_banks
     count = count.astype(jnp.int32)
@@ -596,10 +677,28 @@ def _prejoin_from_rows(
     )
     n_rows = jnp.sum(shared_row.astype(jnp.int32))
 
+    if complex_:
+        K = (
+            solid_per_bank  # already global (psum'd above)
+            if solid_override is None
+            else solid_override
+        )
+        w_all = _whittaker_all_banks(
+            jnp.where(kept2, sid2, n_banks),
+            jnp.where(kept2, cnt2, 0),
+            K,
+            n_banks=n_banks,
+        )
+    else:
+        w_all = jnp.zeros((n_banks, n_banks), jnp.int64)
+        if vary_axes:
+            w_all = jax.lax.pcast(w_all, vary_axes, to="varying")
+
     if psum_axis:
         n_distinct = jax.lax.psum(n_distinct, psum_axis)
         n_shared = jax.lax.psum(n_shared, psum_axis)
         max_cnt = jax.lax.pmax(max_cnt, psum_axis)
+        w_all = jax.lax.psum(w_all, psum_axis)
     return Prejoin(
         words_shared=comp2[:nw],
         sid_shared=comp2[nw],
@@ -610,13 +709,16 @@ def _prejoin_from_rows(
         distinct_per_bank=distinct_per_bank,
         solid_per_bank=solid_per_bank,
         chord_n2_per_bank=chord_n2_per_bank,
+        whittaker_all=w_all,
         max_count=max_cnt,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_banks", "hi_bits", "vary_axes", "psum_axis"),
+    static_argnames=(
+        "n_banks", "hi_bits", "vary_axes", "psum_axis", "complex_",
+    ),
 )
 def count_join_prejoin(
     hi,
@@ -624,11 +726,13 @@ def count_join_prejoin(
     sid,
     abundance_min,
     abundance_max,
+    solid_override=None,
     *,
     n_banks: int,
     hi_bits: int = 32,
     vary_axes: tuple = (),
     psum_axis: str = "",
+    complex_: bool = False,
 ) -> Prejoin:
     """Program A over raw k-mer instances (args as count_join_stats)."""
     rows = _rows_from_instances(
@@ -641,12 +745,16 @@ def count_join_prejoin(
         n_banks=n_banks,
         vary_axes=vary_axes,
         psum_axis=psum_axis,
+        complex_=complex_,
+        solid_override=solid_override,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_banks", "hi_bits", "vary_axes", "psum_axis"),
+    static_argnames=(
+        "n_banks", "hi_bits", "vary_axes", "psum_axis", "complex_",
+    ),
 )
 def join_spectra_prejoin(
     words,
@@ -654,11 +762,13 @@ def join_spectra_prejoin(
     counts,
     abundance_min,
     abundance_max,
+    solid_override=None,
     *,
     n_banks: int,
     hi_bits: int = 32,
     vary_axes: tuple = (),
     psum_axis: str = "",
+    complex_: bool = False,
 ) -> Prejoin:
     """Program A over pre-counted spectrum rows (args as
     join_stats_from_spectra)."""
@@ -672,6 +782,8 @@ def join_spectra_prejoin(
         n_banks=n_banks,
         vary_axes=vary_axes,
         psum_axis=psum_axis,
+        complex_=complex_,
+        solid_override=solid_override,
     )
 
 
@@ -746,6 +858,8 @@ def _join_stats_from_split(pre: Prejoin, acc) -> JoinStats:
         chord_ninj=acc["chord"],
         hellinger=acc["hellinger"],
         whittaker=acc["whittaker"],
+        whittaker_all=pre.whittaker_all,
+        whittaker_s12=acc["whittaker_s12"],
         kullback_leibler=acc["kl"],
         max_count=pre.max_count,
     )
@@ -783,7 +897,7 @@ def count_join_stats_split(
     """
     pre = count_join_prejoin(
         hi, lo, sid, abundance_min, abundance_max,
-        n_banks=n_banks, hi_bits=hi_bits,
+        n_banks=n_banks, hi_bits=hi_bits, complex_=complex_,
     )
     import numpy as np
 
@@ -820,7 +934,8 @@ def join_stats_from_spectra_split(
     """Two-program singleton-pruned join over spectrum rows."""
     pre = join_spectra_prejoin(
         words, sid, counts, abundance_min, abundance_max,
-        n_banks=n_banks, hi_bits=hi_bits,
+        solid_override,
+        n_banks=n_banks, hi_bits=hi_bits, complex_=complex_,
     )
     import numpy as np
 
@@ -938,8 +1053,20 @@ def _stats_from_rows(
         count_bits=count_bits,
         vary_axes=vary_axes,
     )
+    if complex_:
+        w_all = _whittaker_all_banks(
+            jnp.where(kept2, sid2, N),
+            jnp.where(kept2, cnt2, 0),
+            K,
+            n_banks=N,
+        )
+    else:
+        w_all = jnp.zeros((N, N), jnp.int64)
+        if vary_axes:
+            w_all = jax.lax.pcast(w_all, vary_axes, to="varying")
     return _assemble_join_stats(
         acc,
+        w_all,
         n_distinct,
         n_shared,
         distinct_per_bank,
@@ -1045,6 +1172,7 @@ def _pair_accumulate(
             chord=zero_f,
             hellinger=zero_i,
             whittaker=zero_i,
+            whittaker_s12=zero_i,
             kl=zero_f,
         )
 
@@ -1121,6 +1249,19 @@ def _pair_accumulate(
             out["whittaker"] = acc["whittaker"] + _pair_bin_int(
                 oh_a, oh_b, _panels(wval), 32
             )
+            # s12 = |wrap32(cI*K_j)| + |wrap32(cJ*K_i)| over co-present
+            # pairs: subtracted from the all-rows A term at
+            # finalization so shared k-mers keep only the wrapped
+            # difference (see the JoinStats field docstring)
+            s12 = jnp.where(
+                m,
+                _abs_wrap32(cnt2.astype(jnp.float64) * Kb)
+                + _abs_wrap32(cnt_b.astype(jnp.float64) * Ka),
+                0,
+            )
+            out["whittaker_s12"] = acc["whittaker_s12"] + _pair_bin_int(
+                oh_a, oh_b, _panels(s12), 33
+            )
 
             # Kullback-Leibler pair term (both present,
             # SimkaAlgorithm.hpp:437-446):
@@ -1151,6 +1292,7 @@ def _pair_accumulate(
         "chord": jnp.zeros((N, N), jnp.float64),
         "hellinger": jnp.zeros((N, N), jnp.int64),
         "whittaker": jnp.zeros((N, N), jnp.int64),
+        "whittaker_s12": jnp.zeros((N, N), jnp.int64),
         "kl": jnp.zeros((N, N), jnp.float64),
     }
     if vary_axes:
@@ -1164,6 +1306,7 @@ def _pair_accumulate(
 
 def _assemble_join_stats(
     acc,
+    whittaker_all,
     n_distinct,
     n_shared,
     distinct_per_bank,
@@ -1185,6 +1328,8 @@ def _assemble_join_stats(
         chord_ninj=acc["chord"],
         hellinger=acc["hellinger"],
         whittaker=acc["whittaker"],
+        whittaker_all=whittaker_all,
+        whittaker_s12=acc["whittaker_s12"],
         kullback_leibler=acc["kl"],
         max_count=max_cnt,
     )
@@ -1201,6 +1346,8 @@ def _assemble_join_stats(
             chord_ninj=jax.lax.psum(out.chord_ninj, psum_axis),
             hellinger=jax.lax.psum(out.hellinger, psum_axis),
             whittaker=jax.lax.psum(out.whittaker, psum_axis),
+            whittaker_all=jax.lax.psum(out.whittaker_all, psum_axis),
+            whittaker_s12=jax.lax.psum(out.whittaker_s12, psum_axis),
             kullback_leibler=jax.lax.psum(out.kullback_leibler, psum_axis),
             max_count=jax.lax.pmax(out.max_count, psum_axis),
         )

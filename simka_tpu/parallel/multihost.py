@@ -399,9 +399,12 @@ def multihost_join_from_spectra(
                 exchanged[nw + 1],
                 jnp.int32(abundance_min),
                 jnp.int64(abundance_max),
+                # psum'd in-program totals are global here: the
+                # exchange spans the whole hash space
                 n_banks=n_banks,
                 vary_axes=("shards",),
                 psum_axis="shards",
+                complex_=complex_,
             )
             return pre._replace(
                 words_shared=tuple(

@@ -188,7 +188,28 @@ def _sharded_split_join(
     per-bank solid totals injected when this join only sees one hash
     range of the k-mer space (the out-of-core sweep)."""
     pre = prejoin_step(*prejoin_args)
-    n_max = int(np.asarray(pre.n_rows_shared).max())
+    if jax.process_count() > 1:
+        # n_rows_shared spans every process's devices; fetching it
+        # directly raises (found by the real 2-process CI test,
+        # tests/test_multiprocess_distributed.py). Reduce the local
+        # shards and allgather the max -- every process must agree on
+        # the program-B size class.
+        from jax.experimental import multihost_utils
+
+        local_max = max(
+            (
+                int(np.asarray(s.data).max())
+                for s in pre.n_rows_shared.addressable_shards
+            ),
+            default=0,
+        )
+        n_max = int(
+            multihost_utils.process_allgather(
+                np.asarray([local_max], np.int64)
+            ).max()
+        )
+    else:
+        n_max = int(np.asarray(pre.n_rows_shared).max())
     E = pre.sid_shared.shape[1]
     cap = shared_size_class(n_max, E)
 
@@ -214,6 +235,7 @@ def _sharded_split_join(
                 "chord",
                 "hellinger",
                 "whittaker",
+                "whittaker_s12",
                 "kl",
             )
         },
@@ -259,6 +281,7 @@ def _prejoin_out_specs(nw: int):
         distinct_per_bank=P(),
         solid_per_bank=P(),
         chord_n2_per_bank=P(),
+        whittaker_all=P(),
         max_count=P(),
     )
 
@@ -306,6 +329,7 @@ def sharded_count_join_stats_split(
             hi_bits=hi_bits,
             vary_axes=("shards",),
             psum_axis="shards",
+            complex_=complex_,
         )
         return pre._replace(
             words_shared=tuple(w[None, :] for w in pre.words_shared),
@@ -350,6 +374,8 @@ def sharded_join_from_spectra_split(
     words_sh = tuple(words_sh)
     nw = len(words_sh)
 
+    has_override = solid_override is not None
+
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
@@ -359,20 +385,26 @@ def sharded_join_from_spectra_split(
             P("shards"),
             P(),
             P(),
+            P(),
         ),
         out_specs=_prejoin_out_specs(nw),
     )
-    def pre_step(words, sid, counts, amin, amax):
+    def pre_step(words, sid, counts, amin, amax, solid_ov):
         pre = join_spectra_prejoin(
             tuple(w[0] for w in words),
             sid[0],
             counts[0],
             amin,
             amax,
+            # the exact-wrap Whittaker all-rows term needs GLOBAL
+            # totals; under the sweep each shard only sees one hash
+            # range, so psum'd in-program totals are range-local
+            solid_ov if has_override else None,
             n_banks=n_banks,
             hi_bits=hi_bits,
             vary_axes=("shards",),
             psum_axis="shards",
+            complex_=complex_,
         )
         return pre._replace(
             words_shared=tuple(w[None, :] for w in pre.words_shared),
@@ -389,6 +421,12 @@ def sharded_join_from_spectra_split(
             jnp.asarray(counts_sh),
             jnp.asarray(abundance_min, jnp.int32),
             jnp.asarray(abundance_max, jnp.int64),
+            jnp.asarray(
+                solid_override
+                if has_override
+                else np.zeros(n_banks, np.int64),
+                jnp.int64,
+            ),
         ),
         mesh=mesh,
         n_banks=n_banks,
