@@ -97,12 +97,23 @@ def get_lib():
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_int64),
     ]
+    lib.fastx_error.restype = ctypes.c_char_p
+    lib.fastx_error.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
 
 
 def available() -> bool:
     return get_lib() is not None
+
+
+def _raise_if_malformed(lib, h, path: str) -> None:
+    """A batch loop ending may mean EOF -- or a malformed FASTQ
+    record the reader refused to mis-parse. Raise the reader's
+    message instead of silently truncating the stream."""
+    msg = lib.fastx_error(h)
+    if msg:
+        raise ValueError(f"{path}: {msg.decode()}")
 
 
 def iter_code_batches(
@@ -136,9 +147,11 @@ def iter_code_batches(
                 lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             )
             if n <= 0:
+                _raise_if_malformed(lib, h, path)
                 break
             yield codes[:n], lengths[:n]
             if n < batch_reads:
+                _raise_if_malformed(lib, h, path)
                 break
     finally:
         lib.fastx_close(h)
@@ -188,6 +201,7 @@ def iter_packed_batches(
                 ctypes.byref(n_valid),
             )
             if n == 0:
+                _raise_if_malformed(lib, h, path)
                 break
             if n < 0:  # a read longer than width: widen + retry
                 width = -(-max(-n, width + 8) // 8) * 8
@@ -233,6 +247,7 @@ def iter_raw_reads(
                 offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             )
             if n == 0:
+                _raise_if_malformed(lib, h, path)
                 break
             if n < 0:  # one read larger than the buffer: grow + retry
                 buf = np.empty(max(-n, 2 * buf.shape[0]), np.uint8)
@@ -251,6 +266,8 @@ def count_reads(
     if lib is None:
         raise RuntimeError("native fastx library unavailable")
     n = lib.fastx_count_reads(path.encode(), min_read_size, min_shannon)
+    if n == -2:
+        raise ValueError(f"{path}: malformed FASTQ record")
     if n < 0:
         raise IOError(f"cannot open sequence file: {path}")
     return n

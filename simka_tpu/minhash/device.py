@@ -349,16 +349,26 @@ def sketch_stream_step(
     return nh, nc, corr_h, corr_n, n_full_acc
 
 
-def _segmented_cummax(values, seg_start):
-    """Inclusive per-segment running max (resets where seg_start)."""
+def _segmented_cummax_by_sid(values_plus1, sidk):
+    """Per-segment inclusive running max of ``values_plus1`` (>= 0)
+    where segments are runs of the ASCENDING ``sidk``.
 
-    def op(a, b):
-        af, av = a
-        bf, bv = b
-        return af | bf, jnp.where(bf, bv, jnp.maximum(av, bv))
-
-    _, out = jax.lax.associative_scan(op, (seg_start, values))
-    return out
+    One plain f64 cummax over the composite key sid*2^32 + v: rows of
+    earlier segments always compare below any row of a later segment
+    (their sid term is strictly smaller), so the running max never
+    leaks across a segment boundary. Exact while sid*2^32 + v < 2^53.
+    (An associative_scan formulation compiled pathologically on the
+    remote TPU service -- its odd/even strided slicing explodes the
+    HLO at 2^25 elements.)
+    """
+    comp = (
+        sidk.astype(jnp.float64) * 2.0**32
+        + values_plus1.astype(jnp.float64)
+    )
+    run = jax.lax.cummax(comp)
+    return (run - sidk.astype(jnp.float64) * 2.0**32).astype(
+        jnp.int64
+    )
 
 
 @functools.partial(
@@ -479,10 +489,10 @@ def sketch_multi_prefix(
     # last heap entry among the s-1 smaller members, per sample:
     # segmented running max of their entry positions, read at the
     # h_max row (TL carries t_last + 1 so the no-members case is 0)
-    ev = jnp.where(keep & (rank < sel[sidg]), entry, -1)
-    seg_max = _segmented_cummax(ev, seg_start)
+    ev1 = jnp.where(keep & (rank < sel[sidg]), entry + 1, 0)
+    seg_max1 = _segmented_cummax_by_sid(ev1, sidk)
     TL = binned_sum(
-        jnp.where(is_hmax, (seg_max + 1).astype(jnp.int64), 0),
+        jnp.where(is_hmax, seg_max1, 0),
         sid_hmax, N, bits=max(E.bit_length() + 1, 2),
     )
     # occurrences of h_max before t_last, over the FULL instance
