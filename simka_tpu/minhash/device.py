@@ -454,9 +454,14 @@ def sketch_multi_prefix(
 
     # per-sample rank of each kept row: kept rows before it within its
     # sample's segment (rows are (sid, hash)-sorted, so segments are
-    # contiguous and the rank is hash-ascending)
+    # contiguous and the rank is hash-ascending). EVERYTHING per-row:
+    # a first cut gathered [N] tables by sid and paid ~320 ms PER
+    # GATHER at E=2^24 on chip (gathers serialize on TPU;
+    # probe_multisketch_ablate.py) -- segment arithmetic + composite
+    # cummax fills replace every one of them.
     keep_i = keep.astype(jnp.int32)
-    excl = jnp.cumsum(keep_i) - keep_i
+    incl = jnp.cumsum(keep_i)
+    excl = incl - keep_i
     seg_start = jnp.concatenate(
         [jnp.array([True]), sidk[1:] != sidk[:-1]]
     )
@@ -464,6 +469,16 @@ def sketch_multi_prefix(
     # is the excl value at the MOST RECENT segment start
     base = jax.lax.cummax(jnp.where(seg_start, excl, -1))
     rank = excl - base
+    # per-row kept-total of the row's own segment: incl at the
+    # segment's LAST row (the next seg_end at or after this row)
+    seg_end = jnp.concatenate(
+        [sidk[1:] != sidk[:-1], jnp.array([True])]
+    )
+    seg_total = (
+        _suffix_min(jnp.where(seg_end, incl, E + 1)) - base
+    )
+    sel_row = jnp.minimum(seg_total, s) - 1
+    full_row = seg_total >= s
 
     from simka_tpu.ops.intmatmul import binned_sum
 
@@ -471,60 +486,55 @@ def sketch_multi_prefix(
     n_kept = binned_sum(keep.astype(jnp.int64), sid_keep, N, bits=1)
 
     # ---- per-sample h_max heap-quirk correction (full sketches) ----
-    full = n_kept >= s  # [N]
-    sel = jnp.maximum(
-        jnp.minimum(n_kept, s).astype(jnp.int32) - 1, 0
-    )  # [N]
-    sidg = jnp.minimum(sidk, N - 1)
-    is_hmax = keep & full[sidg] & (rank == sel[sidg])
-    sid_hmax = jnp.where(is_hmax, sidk, N)
-    hmax_hh = binned_sum(
-        jnp.where(is_hmax, hh.astype(jnp.int64), 0), sid_hmax, N,
-        bits=32,
-    ).astype(jnp.uint32)
-    hmax_hl = binned_sum(
-        jnp.where(is_hmax, hl.astype(jnp.int64), 0), sid_hmax, N,
-        bits=32,
-    ).astype(jnp.uint32)
-    # last heap entry among the s-1 smaller members, per sample:
-    # segmented running max of their entry positions, read at the
-    # h_max row (TL carries t_last + 1 so the no-members case is 0)
-    ev1 = jnp.where(keep & (rank < sel[sidg]), entry + 1, 0)
+    # The h_max member is the rank sel = s-1 row of a full segment;
+    # its instances are exactly its RUN (boundary + duplicates). TL
+    # (last heap entry + 1 among the s-1 smaller members) is the
+    # segmented running max of member entry positions read AT that
+    # boundary row, then forward-filled through the run with a
+    # (run_id, TL) composite cummax; occurrences before the last
+    # entry are then a per-row predicate, binned by sample. The
+    # corrected count itself is applied on HOST to the fetched
+    # prefix's last member (exactly like the streaming finalize).
+    is_hmax = keep & full_row & (rank == sel_row)
+    ev1 = jnp.where(keep & (rank < sel_row), entry + 1, 0)
     seg_max1 = _segmented_cummax_by_sid(ev1, sidk)
-    TL = binned_sum(
-        jnp.where(is_hmax, seg_max1, 0),
-        sid_hmax, N, bits=max(E.bit_length() + 1, 2),
+    # Two composite fills keyed by the H_MAX-run ordinal (<= N), so
+    # exactness only needs n_samples * 2^(bl+1) + E < 2^53 -- E can
+    # grow to the HBM plan. fillTL carries the boundary's TL through
+    # everything after it; fillRID carries the boundary's run id, and
+    # a row contributes only when its OWN run id matches (i.e. it is
+    # inside that h_max run, not merely after it).
+    run_id = jnp.cumsum(boundary.astype(jnp.int32)).astype(
+        jnp.float64
     )
-    # occurrences of h_max before t_last, over the FULL instance
-    # stream of its sample (pos < t_last  <=>  pos + 1 < TL)
-    is_h_inst = (
-        ~is_full
-        & full[sidg]
-        & (hh == hmax_hh[sidg])
-        & (hl == hmax_hl[sidg])
-        & ((pos.astype(jnp.int64) + 1) < TL[sidg])
+    hrun = jnp.cumsum(is_hmax.astype(jnp.int32)).astype(jnp.float64)
+    scale = 2.0 ** (E.bit_length() + 1)  # > max(TL, run_id)
+    base_h = hrun * scale
+    tl_fill = jax.lax.cummax(
+        base_h + jnp.where(is_hmax, seg_max1, 0).astype(jnp.float64)
+    ) - base_h
+    rid_fill = jax.lax.cummax(
+        base_h + jnp.where(is_hmax, run_id, 0.0)
+    ) - base_h
+    contrib = (run_id == rid_fill) & (
+        (pos.astype(jnp.float64) + 1.0) < tl_fill
     )
     n_before = binned_sum(
-        is_h_inst.astype(jnp.int64),
-        jnp.where(is_h_inst, sidk, N), N, bits=1,
-    )
-    base_c = 2 if use_filter else 1
-    corrected = jnp.maximum(base_c, n_before)  # [N]
-    cnt_out = jnp.where(
-        is_hmax, corrected[sidg].astype(count.dtype), count
+        contrib.astype(jnp.int64),
+        jnp.where(contrib, sidk, N), N, bits=1,
     )
 
     out_keep = keep & (rank < s)
     from simka_tpu.ops.compact import compact_rows
 
     hh_c, hl_c, cnt_c = compact_rows(
-        (hh, hl, cnt_out), out_keep,
+        (hh, hl, count), out_keep,
         fills=(0xFFFFFFFF, 0xFFFFFFFF, 0),
     )
     hashes = (hh_c[:cap].astype(jnp.uint64) << jnp.uint64(32)) | hl_c[
         :cap
     ].astype(jnp.uint64)
-    return hashes, cnt_c[:cap], n_kept, n_full64
+    return hashes, cnt_c[:cap], n_kept, n_before, n_full64
 
 
 @functools.partial(jax.jit, static_argnames=("k", "seed"))

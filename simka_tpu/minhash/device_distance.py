@@ -28,23 +28,65 @@ import numpy as np
 UINT64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
+def _bitonic_merge(h, inv, tag, c):
+    """Merge the concatenation of two lexicographically ASCENDING
+    halves by (h, inv, tag), carrying ``c``.
+
+    Both sketches arrive sorted (bottom-s prefixes are built
+    ascending; padding sorts after via inv), so a full lax.sort pays
+    log^2 compare stages where a MERGE needs log: reverse the second
+    half (bitonic sequence), then log2(L) fixed-stride
+    compare-exchange stages, each a reshape + elementwise min/max
+    select -- no sort, no gathers. On-chip this took the N=100
+    s=100k distance phase from ~8 s of vmapped sorts to merge-rate.
+    """
+    L = h.shape[0]
+    s = L // 2
+    h = jnp.concatenate([h[:s], jnp.flip(h[s:])])
+    inv = jnp.concatenate([inv[:s], jnp.flip(inv[s:])])
+    tag = jnp.concatenate([tag[:s], jnp.flip(tag[s:])])
+    c = jnp.concatenate([c[:s], jnp.flip(c[s:])])
+    d = s
+    while d >= 1:
+        hx = h.reshape(L // (2 * d), 2, d)
+        ix = inv.reshape(L // (2 * d), 2, d)
+        tx = tag.reshape(L // (2 * d), 2, d)
+        cx = c.reshape(L // (2 * d), 2, d)
+        a = (hx[:, 0], ix[:, 0], tx[:, 0], cx[:, 0])
+        b = (hx[:, 1], ix[:, 1], tx[:, 1], cx[:, 1])
+        gt = (
+            (a[0] > b[0])
+            | ((a[0] == b[0]) & (a[1] > b[1]))
+            | ((a[0] == b[0]) & (a[1] == b[1]) & (a[2] > b[2]))
+        )
+        lo = tuple(jnp.where(gt, y, x) for x, y in zip(a, b))
+        hi = tuple(jnp.where(gt, x, y) for x, y in zip(a, b))
+        h = jnp.stack([lo[0], hi[0]], axis=1).reshape(L)
+        inv = jnp.stack([lo[1], hi[1]], axis=1).reshape(L)
+        tag = jnp.stack([lo[2], hi[2]], axis=1).reshape(L)
+        c = jnp.stack([lo[3], hi[3]], axis=1).reshape(L)
+        d //= 2
+    return h, inv, tag, c
+
+
 def _pair_kernel(hA, cA, lA, hB, cB, lB):
     """One pair: padded ascending u64 hashes, counts, valid lengths.
     Returns (jaccard, braycurtis) float32.
 
-    SORT-MERGE formulation: concatenate both sketches, one lax.sort
-    by (hash, validity, side), then every quantity of the reference
-    walk (SimkaMinDistance.hpp:215-258) is a boundary/cumsum scan --
-    the earlier searchsorted formulation lowered to gather-bound
-    binary searches on TPU (gathers serialize; a 100x100 distance
-    phase ran minutes per 64-pair batch).
+    MERGE formulation: both sketches are already ascending, so a
+    bitonic merge (log stages of elementwise compare-exchange)
+    replaces the earlier full lax.sort; every quantity of the
+    reference walk (SimkaMinDistance.hpp:215-258) is then a
+    boundary/cumsum scan. (A searchsorted formulation lowered to
+    gather-bound binary searches on TPU -- minutes per 64-pair
+    batch.)
 
     Union-rank semantics: the walk processes exactly the union
     elements of rank <= processed, processed = min(min(lA, lB),
     rank(t_exh)) with t_exh the exhausted stream's last element.
     After the merge, an element's union rank is the inclusive cumsum
-    of distinct-boundaries at its row. Validity rides as a sort key
-    (not a sentinel compare), so a genuine all-ones hash stays exact.
+    of distinct-boundaries at its row. Validity rides as a compare
+    key (not a sentinel), so a genuine all-ones hash stays exact.
     """
     s = hA.shape[0]
     idx = jnp.arange(s)
@@ -57,7 +99,7 @@ def _pair_kernel(hA, cA, lA, hB, cB, lB):
         [jnp.zeros(s, jnp.uint32), jnp.ones(s, jnp.uint32)]
     )
     c = jnp.concatenate([cA, cB])
-    h, inv, tag, c = jax.lax.sort((h, inv, tag, c), num_keys=3)
+    h, inv, tag, c = _bitonic_merge(h, inv, tag, c)
 
     valid = inv == 0
     prev_same = jnp.concatenate(

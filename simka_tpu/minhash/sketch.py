@@ -81,7 +81,9 @@ def _batched_instance_limit() -> int:
     the sort + scan temps."""
     from simka_tpu.core.budget import hbm_budget_bytes
 
-    return max(hbm_budget_bytes() // 48, 1 << 20)
+    # 2^27 cap bounds the fused program's sort working set; the f64
+    # composite fills are exact far beyond it (minhash/device.py)
+    return min(max(hbm_budget_bytes() // 48, 1 << 20), 1 << 27)
 
 
 def compute_sketches_batched(
@@ -188,14 +190,16 @@ def compute_sketches_batched(
         else sid_parts[0]
     )
     cap = min(target, n * sketch_size)
-    hashes_d, cnt_d, nk_d, nfull_d = sketch_multi_prefix(
+    hashes_d, cnt_d, nk_d, nb_d, nfull_d = sketch_multi_prefix(
         h_all, sid_all,
         n_samples=n, sketch_size=sketch_size,
         use_filter=use_filter, cap=cap,
     )
     # ONE transfer for every sample's prefix + scalars
-    hashes_all, cnt_all, n_kept, n_full64, nv_all = jax.device_get(
-        (hashes_d, cnt_d, nk_d, nfull_d, nv_parts)
+    hashes_all, cnt_all, n_kept, n_before, n_full64, nv_all = (
+        jax.device_get(
+            (hashes_d, cnt_d, nk_d, nb_d, nfull_d, nv_parts)
+        )
     )
     total_valid = int(np.sum(np.asarray(nv_all, np.int64)))
     if int(n_full64) != target - total_valid:
@@ -203,16 +207,22 @@ def compute_sketches_batched(
         # padding on device; the caller recomputes exactly
         return None
 
+    base_c = 2 if use_filter else 1
     out = []
     off = 0
     for i in range(n):
         m = int(min(n_kept[i], sketch_size))
-        out.append(
-            (
-                np.asarray(hashes_all[off : off + m]),
-                np.asarray(cnt_all[off : off + m]).astype(np.uint32),
-            )
-        )
+        hashes = np.asarray(hashes_all[off : off + m])
+        counts = np.asarray(cnt_all[off : off + m]).astype(np.int64)
+        if n_kept[i] >= sketch_size and m >= 1:
+            # streaming-heap quirk of the largest member (module
+            # docstring): its device count is the RAW total;
+            # occurrences after the last smaller-member heap entry
+            # are dropped by the reference -- patch from the
+            # in-program occurrence count, exactly like the
+            # streaming finalize does
+            counts[-1] = max(base_c, int(n_before[i]))
+        out.append((hashes, counts.astype(np.uint32)))
         off += m
     return out
 
