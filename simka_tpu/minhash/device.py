@@ -542,17 +542,68 @@ def hash_packed_sid_batch(packed, validbits, sid_row, k: int, seed: int):
     """Extract + murmur-hash one COALESCED multi-sample packed batch.
 
     ``sid_row`` [B] int32: per-read sample id (core.pipeline's
-    coalesced ingest layout). Returns (h [B*W] uint64 with FULL64 at
-    invalid windows, sid [B*W] int32 per instance, n_valid i64) --
-    one fused program per batch, the sketch analog of the exact
-    path's coalesced extract (core/pipeline.py:361-480).
+    coalesced ingest layout). Returns (h [B*W] uint64 with the VALID
+    windows stably compacted to the front (FULL64 fills behind),
+    sid [B*W] int32 likewise, n_valid i64) -- one fused program per
+    batch, the sketch analog of the exact path's coalesced extract +
+    valid-window compaction (core/pipeline.py:361-480). When the
+    native parser's window count is host-known, the caller slices the
+    compacted prefix so read-length padding never inflates the fused
+    sketch program's sort class (a 5% overshoot doubled it once).
     """
+    from simka_tpu.ops.compact import compact_rows
     from simka_tpu.ops.kmers import extract_packed
 
     hi, lo = extract_packed(packed, validbits, k, comp_xor=2)
     h, valid = hash_kmer_words(hi.ravel(), lo.ravel(), seed=seed)
     sid_e = jnp.repeat(sid_row, hi.shape[1])
-    return h, sid_e, jnp.sum(valid.astype(jnp.int64))
+    valid = valid.ravel()
+    h_c, sid_c = compact_rows(
+        (h, sid_e), valid, fills=(FULL64, 0)
+    )
+    return h_c, sid_c, jnp.sum(valid.astype(jnp.int64))
+
+
+@functools.partial(jax.jit, static_argnames=("n", "s_pad", "base_c"))
+def assemble_sketch_grid(
+    hashes, counts, offs, lens, n_before, full, *, n: int,
+    s_pad: int, base_c: int,
+):
+    """Compacted per-sample prefixes -> [n, s_pad] padded grids, on
+    device (the distance phase consumes these directly -- re-shipping
+    sketches over the ~15 MB/s tunnel cost more than the entire
+    distance compute).
+
+    ``offs``/``lens`` [n] i32 (host-derived): each sample's start and
+    valid length in the compacted stream; ``n_before``/``full``: the
+    h_max heap-quirk correction per sample, applied to the last valid
+    member here exactly as the host file-write path applies it.
+    Padding rows hold FULL64 / 0 (pad_sketches layout).
+    """
+    pad_h = jnp.concatenate([hashes, jnp.full((s_pad,), FULL64)])
+    pad_c = jnp.concatenate(
+        [counts, jnp.zeros((s_pad,), counts.dtype)]
+    )
+    j = jnp.arange(s_pad, dtype=jnp.int32)
+
+    def body(i, HC):
+        H, C = HC
+        h_i = jax.lax.dynamic_slice(pad_h, (offs[i],), (s_pad,))
+        c_i = jax.lax.dynamic_slice(pad_c, (offs[i],), (s_pad,))
+        m = j < lens[i]
+        corr = jnp.maximum(base_c, n_before[i]).astype(c_i.dtype)
+        c_i = jnp.where(
+            full[i] & (j == lens[i] - 1), corr, c_i
+        )
+        h_i = jnp.where(m, h_i, FULL64)
+        c_i = jnp.where(m, c_i, 0)
+        H = jax.lax.dynamic_update_slice(H, h_i[None], (i, 0))
+        C = jax.lax.dynamic_update_slice(C, c_i[None], (i, 0))
+        return H, C
+
+    H0 = jnp.full((n, s_pad), FULL64)
+    C0 = jnp.zeros((n, s_pad), jnp.int32)
+    return jax.lax.fori_loop(0, n, body, (H0, C0))
 
 
 @functools.partial(jax.jit, static_argnames=("k", "seed"))

@@ -42,31 +42,44 @@ def _bitonic_merge(h, inv, tag, c):
     """
     L = h.shape[0]
     s = L // 2
-    h = jnp.concatenate([h[:s], jnp.flip(h[s:])])
-    inv = jnp.concatenate([inv[:s], jnp.flip(inv[s:])])
-    tag = jnp.concatenate([tag[:s], jnp.flip(tag[s:])])
-    c = jnp.concatenate([c[:s], jnp.flip(c[s:])])
+    W = 128  # TPU lane width: stages below it would shuffle lanes
+    arrs = [h, inv, tag, c]
+    arrs = [
+        jnp.concatenate([a[:s], jnp.flip(a[s:])]) for a in arrs
+    ]
     d = s
-    while d >= 1:
-        hx = h.reshape(L // (2 * d), 2, d)
-        ix = inv.reshape(L // (2 * d), 2, d)
-        tx = tag.reshape(L // (2 * d), 2, d)
-        cx = c.reshape(L // (2 * d), 2, d)
-        a = (hx[:, 0], ix[:, 0], tx[:, 0], cx[:, 0])
-        b = (hx[:, 1], ix[:, 1], tx[:, 1], cx[:, 1])
+    # row-level stages: partners live in different W-wide rows of the
+    # [L/W, W] view, so every compare-exchange is a pure elementwise
+    # min/max over perfectly-tiled operands (a first cut that reshaped
+    # down to d=1 forced lane shuffles and measured no faster than
+    # the full sort on chip)
+    while d >= W and L // (2 * d) >= 1:
+        shaped = [a.reshape(L // (2 * d), 2, d // W, W) for a in arrs]
+        a0 = [x[:, 0] for x in shaped]
+        b0 = [x[:, 1] for x in shaped]
         gt = (
-            (a[0] > b[0])
-            | ((a[0] == b[0]) & (a[1] > b[1]))
-            | ((a[0] == b[0]) & (a[1] == b[1]) & (a[2] > b[2]))
+            (a0[0] > b0[0])
+            | ((a0[0] == b0[0]) & (a0[1] > b0[1]))
+            | (
+                (a0[0] == b0[0])
+                & (a0[1] == b0[1])
+                & (a0[2] > b0[2])
+            )
         )
-        lo = tuple(jnp.where(gt, y, x) for x, y in zip(a, b))
-        hi = tuple(jnp.where(gt, x, y) for x, y in zip(a, b))
-        h = jnp.stack([lo[0], hi[0]], axis=1).reshape(L)
-        inv = jnp.stack([lo[1], hi[1]], axis=1).reshape(L)
-        tag = jnp.stack([lo[2], hi[2]], axis=1).reshape(L)
-        c = jnp.stack([lo[3], hi[3]], axis=1).reshape(L)
+        arrs = [
+            jnp.stack(
+                [jnp.where(gt, y, x), jnp.where(gt, x, y)], axis=1
+            ).reshape(L)
+            for x, y in zip(a0, b0)
+        ]
         d //= 2
-    return h, inv, tag, c
+    if d >= 1:
+        # every 2d-block (= W wide after the loop) is now bitonic; one
+        # batched small sort finishes the lane-level stages
+        blocks = [a.reshape(L // (2 * d), 2 * d) for a in arrs]
+        sorted_ = jax.lax.sort(tuple(blocks), num_keys=3)
+        arrs = [b.reshape(L) for b in sorted_]
+    return tuple(arrs)
 
 
 def _pair_kernel(hA, cA, lA, hB, cB, lB):
@@ -223,13 +236,8 @@ def compute_distance_block_device(
         + [1]
     )
     s = 1 << (s - 1).bit_length()  # stable compile shape classes
-    if not pair_batch:
-        # bound per-batch intermediates (~10 arrays of
-        # [pair_batch, s]) to a few hundred MB of HBM
-        pair_batch = max(8, min(256, (1 << 23) // s))
     H1, C1, L1 = pad_sketches(sketches1, s)
     H2, C2, L2 = pad_sketches(sketches2, s)
-    n1, n2 = len(sketches1), len(sketches2)
 
     import jax as _jax
 
@@ -244,6 +252,25 @@ def compute_distance_block_device(
         _jax.device_put(C2),
         _jax.device_put(L2),
     )
+    return distance_from_device_arrays(
+        d1, d2, symmetric_diag_block, pair_batch
+    )
+
+
+def distance_from_device_arrays(
+    d1, d2, symmetric_diag_block: bool, pair_batch: int = 0
+):
+    """All-pairs sketch distances from DEVICE-RESIDENT [N, s] padded
+    arrays (H u64, C i32, L i32) -- the fast path of run_simka_min:
+    device-built grids never cross the ~15 MB/s tunnel, which cost
+    more than the entire distance compute at s=100k, N=100."""
+    H1, _, _ = d1
+    n1, s = H1.shape
+    n2 = d2[0].shape[0]
+    if not pair_batch:
+        # bound per-batch intermediates (~10 arrays of
+        # [pair_batch, s]) to a few hundred MB of HBM
+        pair_batch = max(8, min(256, (1 << 23) // s))
 
     pairs = []
     for i in range(n1):

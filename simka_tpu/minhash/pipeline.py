@@ -236,6 +236,126 @@ def matrix_update_command(
         merged.tofile(os.path.join(existing_dir, fn))
 
 
+def _run_min_device_resident(
+    datasets,
+    output_dir: str,
+    kmer_size: int,
+    sketch_size: int,
+    seed: int,
+    use_filter: bool,
+    max_reads: int,
+    min_read_size: int,
+    min_read_shannon_index: float,
+    verbose: bool,
+):
+    """Device-resident SimkaMin: coalesced multi-sample sketch ->
+    device-built [N, s] grids -> device distance, with the sketch
+    FILE written by a background thread that overlaps the distance
+    compute. The tunnel moves ~11-18 MB/s each way (round-5 probe),
+    so re-shipping sketches for the distance phase cost MORE than
+    the entire distance compute; here the bulk prefix crosses the
+    link exactly once (the sketch.bin artifact -- byte-identical to
+    the per-sample path's), and nothing comes back but matrices.
+
+    Returns the exported csv paths, or None to fall back (stream
+    over the HBM plan / all-ones-hash corner / grid over budget).
+    """
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    from simka_tpu.core.budget import hbm_budget_bytes
+    from simka_tpu.io.packed import PackedReadSource
+    from simka_tpu.minhash.device import assemble_sketch_grid
+    from simka_tpu.minhash.device_distance import (
+        distance_from_device_arrays,
+    )
+    from simka_tpu.minhash.sketch import (
+        _batched_device_sketch,
+        fetch_batched_sketches,
+    )
+
+    n = len(datasets)
+    s_pad = 1 << (max(sketch_size, 2) - 1).bit_length()
+    if n * s_pad * 16 > hbm_budget_bytes() // 3:
+        return None  # grids would crowd the pair workspace
+    srcs = [
+        PackedReadSource(
+            ds.banks,
+            min_read_size,
+            min_read_shannon_index,
+            max_reads=max_reads,
+            encoding="gatb",
+        )
+        for ds in datasets
+    ]
+    bundle = _batched_device_sketch(
+        srcs, kmer_size, sketch_size, seed, use_filter
+    )
+    if bundle is None:
+        return None
+
+    sketch_dir = os.path.join(output_dir, "sketch")
+    dist_dir = os.path.join(output_dir, "distance")
+    os.makedirs(sketch_dir, exist_ok=True)
+    os.makedirs(dist_dir, exist_ok=True)
+    sketch_path = os.path.join(sketch_dir, "sketch.bin")
+    sf = SketchFile.create(
+        sketch_path, kmer_size, sketch_size, seed, n
+    )
+
+    def write_file():
+        sketches = fetch_batched_sketches(bundle)
+        for i, (h, c) in enumerate(sketches):
+            sf.write_slot(i, h, c)
+            if verbose:
+                print(
+                    f"[simka-tpu min] sketched {datasets[i].id}: "
+                    f"{len(h)} sketch k-mers"
+                )
+        sf.write_ids([d.id for d in datasets])
+
+    writer = threading.Thread(target=write_file)
+    writer.start()
+    try:
+        if bundle["empty"]:
+            jac = np.ones((n, n), np.float32)
+            bc = np.ones((n, n), np.float32)
+            np.fill_diagonal(jac, 0.0)
+            np.fill_diagonal(bc, 0.0)
+        else:
+            import numpy as _np
+
+            n_kept = bundle["n_kept"]
+            lens = _np.minimum(n_kept, sketch_size).astype(_np.int32)
+            offs = _np.zeros(n, _np.int32)
+            offs[1:] = _np.cumsum(lens)[:-1].astype(_np.int32)
+            H, C = assemble_sketch_grid(
+                bundle["hashes_d"],
+                bundle["cnt_d"],
+                jnp.asarray(offs),
+                jnp.asarray(lens),
+                jnp.asarray(bundle["n_before"].astype(_np.int32)),
+                jnp.asarray(n_kept >= sketch_size),
+                n=n,
+                s_pad=s_pad,
+                base_c=2 if use_filter else 1,
+            )
+            L = jax.device_put(jnp.asarray(lens))
+            jac, bc = distance_from_device_arrays(
+                (H, C, L), (H, C, L), True
+            )
+    finally:
+        writer.join()
+    for name, block in zip(MATRIX_NAMES, (jac, bc)):
+        mat = BinaryMatrix(
+            os.path.join(dist_dir, name + ".bin"), n, n
+        )
+        mat.write_block(0, 0, block)
+    return export_command(dist_dir, sketch_path, sketch_path, output_dir)
+
+
 def run_simka_min(
     input_filename: str,
     output_dir: str,
@@ -254,8 +374,21 @@ def run_simka_min(
 
     The 100-dataset tiling (simkaMin.py:158-187) exists to bound the
     reference's RAM; we keep the same block structure as the unit of
-    work (and of future device dispatch)."""
+    work. When the coalesced device sketch applies (N >= 2, no
+    bloom), the whole pipeline runs device-resident
+    (_run_min_device_resident) with the same on-disk artifacts."""
     os.makedirs(output_dir, exist_ok=True)
+    if bloom_bits is None:
+        datasets = parse_input_file(input_filename)
+        check_input_validity(datasets)
+        if len(datasets) >= 2:
+            out = _run_min_device_resident(
+                datasets, output_dir, kmer_size, sketch_size, seed,
+                use_filter, max_reads, min_read_size,
+                min_read_shannon_index, verbose,
+            )
+            if out is not None:
+                return out
     sketch_dir = os.path.join(output_dir, "sketch")
     dist_dir = os.path.join(output_dir, "distance")
     os.makedirs(sketch_dir, exist_ok=True)

@@ -86,6 +86,195 @@ def _batched_instance_limit() -> int:
     return min(max(hbm_budget_bytes() // 48, 1 << 20), 1 << 27)
 
 
+def _batched_device_sketch(
+    sources,
+    kmer_size: int,
+    sketch_size: int,
+    seed: int,
+    use_filter: bool = False,
+    batch_reads: int = 1 << 15,
+):
+    """Device half of the coalesced multi-sample sketch: coalesced
+    ingest -> fused sketch_multi_prefix -> SMALL fetch (per-sample
+    kept counts + correction scalars + the all-ones-corner check).
+
+    Returns a dict bundle holding the DEVICE-resident compacted
+    prefix plus host metadata -- the bulk prefix has NOT crossed the
+    ~15 MB/s tunnel yet, so callers can overlap the big fetch with
+    further device work (the device-resident distance phase). None =
+    fall back to the per-sample path (HBM plan exceeded / 2^-64
+    corner); the bundle has ``empty=True`` when no instances exist.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax
+    import jax.numpy as jnp
+
+    from simka_tpu.core.pipeline import _packed_batch_stream
+    from simka_tpu.minhash.device import (
+        FULL64,
+        hash_packed_sid_batch,
+        sketch_multi_prefix,
+    )
+    from simka_tpu.utils.sizeclass import pad_size_class
+
+    import time as _time
+
+    _t0 = _time.perf_counter()
+    k = kmer_size
+    n = len(sources)
+    limit = _batched_instance_limit()
+    nb_reads = np.zeros(n, np.int64)
+    stream = _packed_batch_stream(
+        sources, [str(i) for i in range(n)], k, nb_reads,
+        None, batch_reads, coalesce=True,
+    )
+
+    h_parts = []  # device [E_b] u64
+    sid_parts = []  # device [E_b] i32
+    nv_parts = []  # device i64 scalars
+    total = 0
+
+    def pull():
+        item = next(stream, None)
+        if item is None:
+            return None
+        sid_row, packed, vb, nv = item
+        return (
+            jax.device_put(packed),
+            jax.device_put(vb),
+            jax.device_put(np.ascontiguousarray(sid_row)),
+            nv,
+        )
+
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        pending = ex.submit(pull)
+        while True:
+            res = pending.result()
+            if res is None:
+                break
+            pending = ex.submit(pull)
+            packed, vb, sid_row, nv_host = res
+            h, sid_e, nv = hash_packed_sid_batch(
+                packed, vb, sid_row, k, seed
+            )
+            if nv_host is not None and nv_host < h.shape[0]:
+                # valid windows are compacted to the front and the
+                # native parser told us how many: drop the padding
+                # so the fused program's sort class tracks the REAL
+                # instance count (a 5% read-length overshoot once
+                # doubled it)
+                h = h[:nv_host]
+                sid_e = sid_e[:nv_host]
+            h_parts.append(h)
+            sid_parts.append(sid_e)
+            nv_parts.append(nv)
+            total += int(h.shape[0])
+            if total > limit:
+                # outgrew the multi-sample HBM plan: the per-sample
+                # path has an O(s) streaming state for exactly this
+                return None
+
+    if total == 0:
+        return {"empty": True, "n": n}
+
+    target = pad_size_class(total, min_bits=16)
+    if target > total:
+        h_parts.append(jnp.full((target - total,), FULL64))
+        sid_parts.append(jnp.zeros((target - total,), jnp.int32))
+    h_all = (
+        jnp.concatenate(h_parts) if len(h_parts) > 1 else h_parts[0]
+    )
+    sid_all = (
+        jnp.concatenate(sid_parts)
+        if len(sid_parts) > 1
+        else sid_parts[0]
+    )
+    import os
+    import time
+
+    dbg = os.environ.get("SIMKA_TPU_DEBUG_TIMERS") == "1"
+    if dbg:
+        jax.device_get(nv_parts)  # drain the ingest dispatch queue
+        print(
+            f"[sketch-batched] ingest(+hash dispatch) "
+            f"{time.perf_counter() - _t0:.2f}s "
+            f"({len(nv_parts)} batches, {total} windows)",
+            flush=True,
+        )
+    t_ing = time.perf_counter()
+    cap = min(target, n * sketch_size)
+    hashes_d, cnt_d, nk_d, nb_d, nfull_d = sketch_multi_prefix(
+        h_all, sid_all,
+        n_samples=n, sketch_size=sketch_size,
+        use_filter=use_filter, cap=cap,
+    )
+    # SMALL fetch: per-sample scalars + the corner check; the bulk
+    # prefix stays on device
+    n_kept, n_before, n_full64, nv_all = jax.device_get(
+        (nk_d, nb_d, nfull_d, nv_parts)
+    )
+    if dbg:
+        t_prog = time.perf_counter()
+        print(
+            f"[sketch-batched] E={target} cap={cap} "
+            f"program+scalars {t_prog - t_ing:.2f}s",
+            flush=True,
+        )
+    total_valid = int(np.sum(np.asarray(nv_all, np.int64)))
+    if int(n_full64) != target - total_valid:
+        # a real k-mer hashed to all-ones: indistinguishable from
+        # padding on device; the caller recomputes exactly
+        return None
+    return {
+        "empty": False,
+        "n": n,
+        "sketch_size": sketch_size,
+        "use_filter": use_filter,
+        "hashes_d": hashes_d,
+        "cnt_d": cnt_d,
+        "n_kept": np.asarray(n_kept, np.int64),
+        "n_before": np.asarray(n_before, np.int64),
+    }
+
+
+def fetch_batched_sketches(bundle):
+    """Host half: fetch the compacted prefix (the 12 B/record bulk
+    transfer) and slice/patch per sample -- the (hashes, counts)
+    list every file-write path consumes."""
+    import jax
+
+    n = bundle["n"]
+    if bundle["empty"]:
+        return [
+            (np.empty(0, np.uint64), np.empty(0, np.uint32))
+        ] * n
+    sketch_size = bundle["sketch_size"]
+    n_kept = bundle["n_kept"]
+    n_before = bundle["n_before"]
+    hashes_all, cnt_all = jax.device_get(
+        (bundle["hashes_d"], bundle["cnt_d"])
+    )
+    base_c = 2 if bundle["use_filter"] else 1
+    out = []
+    off = 0
+    for i in range(n):
+        m = int(min(n_kept[i], sketch_size))
+        hashes = np.asarray(hashes_all[off : off + m])
+        counts = np.asarray(cnt_all[off : off + m]).astype(np.int64)
+        if n_kept[i] >= sketch_size and m >= 1:
+            # streaming-heap quirk of the largest member (module
+            # docstring): its device count is the RAW total;
+            # occurrences after the last smaller-member heap entry
+            # are dropped by the reference -- patch from the
+            # in-program occurrence count, exactly like the
+            # streaming finalize does
+            counts[-1] = max(base_c, int(n_before[i]))
+        out.append((hashes, counts.astype(np.uint32)))
+        off += m
+    return out
+
+
 def compute_sketches_batched(
     sources,
     kmer_size: int,
@@ -114,117 +303,13 @@ def compute_sketches_batched(
     multi-sample analog), or a genuine all-ones murmur hash made
     device padding ambiguous (the 2^-64 corner).
     """
-    from concurrent.futures import ThreadPoolExecutor
-
-    import jax
-    import jax.numpy as jnp
-
-    from simka_tpu.core.pipeline import _packed_batch_stream
-    from simka_tpu.minhash.device import (
-        FULL64,
-        hash_packed_sid_batch,
-        sketch_multi_prefix,
+    bundle = _batched_device_sketch(
+        sources, kmer_size, sketch_size, seed, use_filter,
+        batch_reads,
     )
-    from simka_tpu.utils.sizeclass import pad_size_class
-
-    k = kmer_size
-    n = len(sources)
-    limit = _batched_instance_limit()
-    nb_reads = np.zeros(n, np.int64)
-    stream = _packed_batch_stream(
-        sources, [str(i) for i in range(n)], k, nb_reads,
-        None, batch_reads, coalesce=True,
-    )
-
-    h_parts = []  # device [E_b] u64
-    sid_parts = []  # device [E_b] i32
-    nv_parts = []  # device i64 scalars
-    total = 0
-
-    def pull():
-        item = next(stream, None)
-        if item is None:
-            return None
-        sid_row, packed, vb, _nv = item
-        return (
-            jax.device_put(packed),
-            jax.device_put(vb),
-            jax.device_put(np.ascontiguousarray(sid_row)),
-        )
-
-    with ThreadPoolExecutor(max_workers=1) as ex:
-        pending = ex.submit(pull)
-        while True:
-            res = pending.result()
-            if res is None:
-                break
-            pending = ex.submit(pull)
-            packed, vb, sid_row = res
-            h, sid_e, nv = hash_packed_sid_batch(
-                packed, vb, sid_row, k, seed
-            )
-            h_parts.append(h)
-            sid_parts.append(sid_e)
-            nv_parts.append(nv)
-            total += int(h.shape[0])
-            if total > limit:
-                # outgrew the multi-sample HBM plan: the per-sample
-                # path has an O(s) streaming state for exactly this
-                return None
-
-    if total == 0:
-        return [
-            (np.empty(0, np.uint64), np.empty(0, np.uint32))
-        ] * n
-
-    target = pad_size_class(total, min_bits=16)
-    if target > total:
-        h_parts.append(jnp.full((target - total,), FULL64))
-        sid_parts.append(jnp.zeros((target - total,), jnp.int32))
-    h_all = (
-        jnp.concatenate(h_parts) if len(h_parts) > 1 else h_parts[0]
-    )
-    sid_all = (
-        jnp.concatenate(sid_parts)
-        if len(sid_parts) > 1
-        else sid_parts[0]
-    )
-    cap = min(target, n * sketch_size)
-    hashes_d, cnt_d, nk_d, nb_d, nfull_d = sketch_multi_prefix(
-        h_all, sid_all,
-        n_samples=n, sketch_size=sketch_size,
-        use_filter=use_filter, cap=cap,
-    )
-    # ONE transfer for every sample's prefix + scalars
-    hashes_all, cnt_all, n_kept, n_before, n_full64, nv_all = (
-        jax.device_get(
-            (hashes_d, cnt_d, nk_d, nb_d, nfull_d, nv_parts)
-        )
-    )
-    total_valid = int(np.sum(np.asarray(nv_all, np.int64)))
-    if int(n_full64) != target - total_valid:
-        # a real k-mer hashed to all-ones: indistinguishable from
-        # padding on device; the caller recomputes exactly
+    if bundle is None:
         return None
-
-    base_c = 2 if use_filter else 1
-    out = []
-    off = 0
-    for i in range(n):
-        m = int(min(n_kept[i], sketch_size))
-        hashes = np.asarray(hashes_all[off : off + m])
-        counts = np.asarray(cnt_all[off : off + m]).astype(np.int64)
-        if n_kept[i] >= sketch_size and m >= 1:
-            # streaming-heap quirk of the largest member (module
-            # docstring): its device count is the RAW total;
-            # occurrences after the last smaller-member heap entry
-            # are dropped by the reference -- patch from the
-            # in-program occurrence count, exactly like the
-            # streaming finalize does
-            counts[-1] = max(base_c, int(n_before[i]))
-        out.append((hashes, counts.astype(np.uint32)))
-        off += m
-    return out
+    return fetch_batched_sketches(bundle)
 
 
 def compute_sketch(
