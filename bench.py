@@ -321,9 +321,17 @@ def bench_wide_n():
 
 
 def bench_min_wide_n():
-    """SimkaMin N=100 pipeline (sketch -> tiled distance -> export):
-    the reference's headline wide-N mode (simkaMin/README.md: ~10x
-    cheaper than exact simka)."""
+    """SimkaMin N=100 pipeline (sketch -> distance -> export): the
+    reference's headline wide-N mode (simkaMin/README.md: ~10x
+    cheaper than exact simka).
+
+    sketch_size=10k on ~320k-window samples (~3% ratio): SimkaMin's
+    design point is sketch << sample (the reference defaults 100k-1M
+    sketches for multi-GB samples). At s >= the per-sample distinct
+    count the sketch IS the spectrum and the 160 MB sketch artifact
+    alone costs ~10 s on this environment's ~15 MB/s host<->device
+    tunnel -- no implementation can be 'the cheap mode' there
+    (scripts/profiling/probe_fetch_bw.py; BENCH notes r5)."""
     from simka_tpu.minhash.pipeline import run_simka_min
 
     n_samples, n_reads, read_len = 100, 4_000, 100
@@ -354,7 +362,7 @@ def bench_min_wide_n():
                 input_txt,
                 os.path.join(tmp, f"out_{tag}"),
                 kmer_size=21,
-                sketch_size=100_000,
+                sketch_size=10_000,
                 verbose=False,
             )
             return time.perf_counter() - t0
@@ -371,20 +379,25 @@ def bench_min_wide_n():
 
 
 def bench_out_of_core(deadline):
-    """At-scale out-of-core proof (VERDICT r4 next-step 5): N=32
-    samples whose instance stream exceeds the REAL device HBM plan
-    (no test-forced tiny budgets), driving the hash-range sweep
-    (core/sweep.py) end-to-end on the chip. Records wall-clock, the
-    range count actually used, and the stage breakdown."""
+    """At-scale proof (VERDICT r4 next-steps 1+5): N=100 samples
+    whose instance stream exceeds the REAL device HBM plan (no
+    test-forced tiny budgets). The exact pipeline must take the
+    hash-range sweep (core/sweep.py) end-to-end on the chip --
+    wall-clock, range count and stage breakdown recorded -- and
+    SimkaMin runs the SAME data in one device-resident pass: the
+    regime where sketching's economics actually exist (exact pays
+    spill + multi-range joins; min stays O(s) per sample)."""
     from simka_tpu.config import SimkaConfig
     from simka_tpu.core.budget import instance_rows_budget
     from simka_tpu.core.pipeline import run_simka
 
     budget = instance_rows_budget(2, 1)
-    n_samples, read_len, k = 32, 100, 21
-    # ~1.5x the device plan in k-mer instances
+    n_samples, read_len, k = 100, 100, 21
+    # ~1.5x the device plan in k-mer instances, capped just under
+    # the batched-sketch limit so min stays on its one-pass path
+    target_inst = min(int(1.5 * budget), int(0.93 * (1 << 27)))
     n_reads = max(
-        int(1.5 * budget) // (n_samples * (read_len - k + 1)), 1000
+        target_inst // (n_samples * (read_len - k + 1)), 1000
     )
     total_instances = n_samples * n_reads * (read_len - k + 1)
     # generous wall estimate: ingest ~ instances/3e7 s, sweep joins
@@ -455,6 +468,23 @@ def bench_out_of_core(deadline):
                 res[f"ooc_stage_{kk}_s"] = round(v, 2)
         except Exception:
             pass
+
+        # SimkaMin on the SAME over-plan data: one device-resident
+        # pass (s=10k ~ 0.8% of per-sample windows)
+        if time.monotonic() + 1.2 * dt < deadline:
+            from simka_tpu.minhash.pipeline import run_simka_min
+
+            t0 = time.perf_counter()
+            run_simka_min(
+                input_txt,
+                os.path.join(tmp, "out_min"),
+                kmer_size=k,
+                sketch_size=10_000,
+                verbose=False,
+            )
+            dt_min = time.perf_counter() - t0
+            res["ooc_min_wall_s"] = round(dt_min, 2)
+            res["ooc_min_vs_exact"] = round(dt_min / dt, 3)
         return res
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

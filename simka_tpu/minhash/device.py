@@ -537,31 +537,55 @@ def sketch_multi_prefix(
     return hashes, cnt_c[:cap], n_kept, n_before, n_full64
 
 
-@functools.partial(jax.jit, static_argnames=("k", "seed"))
-def hash_packed_sid_batch(packed, validbits, sid_row, k: int, seed: int):
+@functools.partial(jax.jit, static_argnames=("k", "seed", "n_samples"))
+def hash_packed_sid_batch(
+    packed, validbits, sid_row, thresh, k: int, seed: int,
+    n_samples: int,
+):
     """Extract + murmur-hash one COALESCED multi-sample packed batch.
 
     ``sid_row`` [B] int32: per-read sample id (core.pipeline's
-    coalesced ingest layout). Returns (h [B*W] uint64 with the VALID
-    windows stably compacted to the front (FULL64 fills behind),
-    sid [B*W] int32 likewise, n_valid i64) -- one fused program per
-    batch, the sketch analog of the exact path's coalesced extract +
-    valid-window compaction (core/pipeline.py:361-480). When the
-    native parser's window count is host-known, the caller slices the
-    compacted prefix so read-length padding never inflates the fused
-    sketch program's sort class (a 5% overshoot doubled it once).
+    coalesced ingest layout). ``thresh``: traced u64 KEEP bound --
+    instances with hash <= thresh survive (FULL64-1 = keep every
+    valid instance; smaller values implement the bottom-s prefilter:
+    a hash above every sample's plausible s-th smallest can never
+    enter a sketch, so the fused sort never sees it -- the TPU analog
+    of a streaming heap's early reject, SimkaMinCount.hpp:324).
+
+    Returns (h [B*W] u64 with surviving windows stably compacted to
+    the front (FULL64 fills behind), sid [B*W] i32 likewise,
+    n_valid i64 (pre-filter), inst_total [N] i64 per-sample valid
+    instances, inst_kept [N] i64 per-sample surviving instances) --
+    one fused program per batch, the sketch analog of the exact
+    path's coalesced extract + valid-window compaction. The caller
+    slices the compacted prefix by host-known counts so padding
+    never inflates the fused sketch program's sort class.
     """
     from simka_tpu.ops.compact import compact_rows
+    from simka_tpu.ops.intmatmul import binned_sum
     from simka_tpu.ops.kmers import extract_packed
 
     hi, lo = extract_packed(packed, validbits, k, comp_xor=2)
     h, valid = hash_kmer_words(hi.ravel(), lo.ravel(), seed=seed)
     sid_e = jnp.repeat(sid_row, hi.shape[1])
     valid = valid.ravel()
-    h_c, sid_c = compact_rows(
-        (h, sid_e), valid, fills=(FULL64, 0)
+    keep = valid & (h <= thresh)
+    N = n_samples
+    inst_total = binned_sum(
+        valid.astype(jnp.int64), jnp.where(valid, sid_e, N), N,
+        bits=1,
     )
-    return h_c, sid_c, jnp.sum(valid.astype(jnp.int64))
+    inst_kept = binned_sum(
+        keep.astype(jnp.int64), jnp.where(keep, sid_e, N), N, bits=1
+    )
+    h_c, sid_c = compact_rows((h, sid_e), keep, fills=(FULL64, 0))
+    return (
+        h_c,
+        sid_c,
+        jnp.sum(valid.astype(jnp.int64)),
+        inst_total,
+        inst_kept,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("n", "s_pad", "base_c"))

@@ -86,6 +86,30 @@ def _batched_instance_limit() -> int:
     return min(max(hbm_budget_bytes() // 48, 1 << 20), 1 << 27)
 
 
+def _estimate_sample_windows(src) -> "int | None":
+    """Crude upper-ish estimate of one sample's valid k-mer windows
+    from its input file sizes (~1 base/byte for FASTA/FASTQ, gz ~4x;
+    the gatb Bank::estimate role). Drives the bottom-s prefilter
+    threshold only -- under- and over-shoot are both caught by the
+    post-run trust checks."""
+    import os as _os
+
+    banks = getattr(src, "banks", None)
+    if not banks:
+        return None
+    total = 0
+    for group in banks:
+        for f in group:
+            try:
+                size = _os.path.getsize(f)
+            except OSError:
+                return None
+            if str(f).endswith(".gz"):
+                size *= 4
+            total += size
+    return total
+
+
 def _batched_device_sketch(
     sources,
     kmer_size: int,
@@ -130,9 +154,40 @@ def _batched_device_sketch(
         None, batch_reads, coalesce=True,
     )
 
+    # ---- bottom-s hash-threshold prefilter (the TPU analog of the
+    # reference heap's early reject, SimkaMinCount.hpp:324): an
+    # instance whose hash exceeds every sample's plausible s-th
+    # smallest can never enter a sketch, so it never reaches the
+    # fused sort. The keep probability is thresh/2^64; underfilled
+    # or clipped outcomes are DETECTED afterwards (per-sample
+    # instance accounting) and fall back, so the 8x slack only ever
+    # costs performance, never correctness. ----
+    FULLM1 = (1 << 64) - 2  # keep every valid instance (<= bound)
+    thresh_int = FULLM1
+    d_min = None
+    for src in sources:
+        est = _estimate_sample_windows(src)
+        if est is None:
+            d_min = None
+            break
+        d_min = est if d_min is None else min(d_min, est)
+    # -filter (exact >= 2) sketches are bottom-s of the QUALIFYING
+    # hashes, typically far fewer than s: the n_kept >= s trust
+    # check would chronically fail and force the fallback, so the
+    # prefilter stays off there
+    if d_min and d_min > 0 and not use_filter:
+        frac = min(8.0 * sketch_size / d_min, 1.0)
+        if frac < 0.25:
+            thresh_int = int(frac * (2.0**64))
+    thresholding = thresh_int < FULLM1
+    thresh = jnp.asarray(np.uint64(thresh_int))
+
     h_parts = []  # device [E_b] u64
     sid_parts = []  # device [E_b] i32
     nv_parts = []  # device i64 scalars
+    it_parts = []  # device [N] per-sample valid-instance totals
+    ik_parts = []  # device [N] per-sample surviving instances
+    caps = []  # host slice caps (overflow check at the end)
     total = 0
 
     def pull():
@@ -155,20 +210,28 @@ def _batched_device_sketch(
                 break
             pending = ex.submit(pull)
             packed, vb, sid_row, nv_host = res
-            h, sid_e, nv = hash_packed_sid_batch(
-                packed, vb, sid_row, k, seed
+            h, sid_e, nv, it_b, ik_b = hash_packed_sid_batch(
+                packed, vb, sid_row, thresh, k, seed, n_samples=n
             )
-            if nv_host is not None and nv_host < h.shape[0]:
-                # valid windows are compacted to the front and the
-                # native parser told us how many: drop the padding
-                # so the fused program's sort class tracks the REAL
-                # instance count (a 5% read-length overshoot once
-                # doubled it)
-                h = h[:nv_host]
-                sid_e = sid_e[:nv_host]
+            rows = int(h.shape[0])
+            cap_b = rows
+            if thresholding:
+                # 4x slack over the binomial mean + absolute floor:
+                # overflow probability is astronomically small, and
+                # the end-of-run check catches it anyway
+                exp_keep = rows * (thresh_int / 2.0**64)
+                cap_b = min(rows, int(4.0 * exp_keep) + 4096)
+            elif nv_host is not None:
+                cap_b = min(rows, int(nv_host))
+            if cap_b < rows:
+                h = h[:cap_b]
+                sid_e = sid_e[:cap_b]
+            caps.append(cap_b)
             h_parts.append(h)
             sid_parts.append(sid_e)
             nv_parts.append(nv)
+            it_parts.append(it_b)
+            ik_parts.append(ik_b)
             total += int(h.shape[0])
             if total > limit:
                 # outgrew the multi-sample HBM plan: the per-sample
@@ -209,23 +272,43 @@ def _batched_device_sketch(
         n_samples=n, sketch_size=sketch_size,
         use_filter=use_filter, cap=cap,
     )
-    # SMALL fetch: per-sample scalars + the corner check; the bulk
-    # prefix stays on device
-    n_kept, n_before, n_full64, nv_all = jax.device_get(
-        (nk_d, nb_d, nfull_d, nv_parts)
+    # SMALL fetch: per-sample scalars + the correctness checks; the
+    # bulk prefix stays on device
+    n_kept, n_before, n_full64, nv_all, it_all, ik_all = (
+        jax.device_get(
+            (nk_d, nb_d, nfull_d, nv_parts, it_parts, ik_parts)
+        )
     )
     if dbg:
         t_prog = time.perf_counter()
         print(
             f"[sketch-batched] E={target} cap={cap} "
+            f"thresh_frac={thresh_int / 2.0**64:.3f} "
             f"program+scalars {t_prog - t_ing:.2f}s",
             flush=True,
         )
-    total_valid = int(np.sum(np.asarray(nv_all, np.int64)))
-    if int(n_full64) != target - total_valid:
-        # a real k-mer hashed to all-ones: indistinguishable from
-        # padding on device; the caller recomputes exactly
-        return None
+    n_kept = np.asarray(n_kept, np.int64)
+    if thresholding:
+        # (a) no batch's survivors were clipped by its slice cap;
+        # (b) every sample is trustworthy: its sketch filled to s,
+        #     or nothing of it was filtered at all. Otherwise the
+        #     threshold may have cut into a bottom-s -> recompute
+        #     without it (rare: 8x slack over the expected need).
+        for cap_b, ik_b in zip(caps, ik_all):
+            if int(np.asarray(ik_b).sum()) > cap_b:
+                return None
+        inst_total = np.sum(np.asarray(it_all, np.int64), axis=0)
+        inst_kept = np.sum(np.asarray(ik_all, np.int64), axis=0)
+        if not np.all(
+            (n_kept >= sketch_size) | (inst_total == inst_kept)
+        ):
+            return None
+    else:
+        total_valid = int(np.sum(np.asarray(nv_all, np.int64)))
+        if int(n_full64) != target - total_valid:
+            # a real k-mer hashed to all-ones: indistinguishable
+            # from padding on device; the caller recomputes exactly
+            return None
     return {
         "empty": False,
         "n": n,

@@ -93,6 +93,36 @@ def test_batched_empty_sample(samples, tmp_path):
         assert np.array_equal(c, out[i][1])
 
 
+def test_threshold_prefilter_is_exercised_and_exact(samples):
+    """With s << estimated windows the bottom-s hash prefilter
+    engages (verified via the internal threshold computation) and
+    results must stay bit-identical to the per-sample path."""
+    import simka_tpu.minhash.sketch as sk
+
+    srcs = [PackedReadSource([[p]], encoding="gatb") for p in samples]
+    est = min(sk._estimate_sample_windows(s) for s in srcs)
+    s_small = max(1, int(est * 0.25 / 8) - 1)  # frac < 0.25
+    out = compute_sketches_batched(srcs, 21, s_small, 100)
+    assert out is not None
+    for i, src in enumerate(srcs):
+        h, c = compute_sketch(src, 21, s_small, 100)
+        assert np.array_equal(h, out[i][0]), i
+        assert np.array_equal(c, out[i][1]), i
+
+
+def test_threshold_underfill_falls_back(samples, monkeypatch):
+    """A wildly overestimated sample size shrinks the threshold past
+    the true bottom-s; the trust check must detect it and signal the
+    exact fallback rather than return a clipped sketch."""
+    import simka_tpu.minhash.sketch as sk
+
+    monkeypatch.setattr(
+        sk, "_estimate_sample_windows", lambda src: 1 << 40
+    )
+    srcs = [PackedReadSource([[p]], encoding="gatb") for p in samples]
+    assert compute_sketches_batched(srcs, 21, 500, 100) is None
+
+
 def test_batched_bails_over_budget(samples, monkeypatch):
     """Totals past the HBM plan must signal the per-sample fallback
     (which has the O(s) streaming state) instead of OOMing."""
