@@ -37,6 +37,27 @@ def main():
     import simka_tpu.minhash.sketch as sk
     from simka_tpu.minhash import pipeline as mp
 
+    if os.environ.get("PROBE_RUNMIN") == "1":
+        # the product path (device-resident fast path + artifacts)
+        for run in ("warm", "timed"):
+            t0 = time.perf_counter()
+            mp.run_simka_min(
+                input_txt,
+                os.path.join(tmp, f"outr_{run}"),
+                kmer_size=21,
+                sketch_size=s,
+                verbose=False,
+            )
+            print(
+                f"[{run}] s={s} run_simka_min "
+                f"{time.perf_counter() - t0:.2f}s",
+                flush=True,
+            )
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        return
+
     times = {}
     real_batched = sk.compute_sketches_batched
 

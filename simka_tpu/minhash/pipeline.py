@@ -316,6 +316,10 @@ def _run_min_device_resident(
                 )
         sf.write_ids([d.id for d in datasets])
 
+    import time as _time
+
+    dbg = os.environ.get("SIMKA_TPU_DEBUG_TIMERS") == "1"
+    t0 = _time.perf_counter()
     writer = threading.Thread(target=write_file)
     writer.start()
     try:
@@ -346,8 +350,21 @@ def _run_min_device_resident(
             jac, bc = distance_from_device_arrays(
                 (H, C, L), (H, C, L), True
             )
+            if dbg:
+                print(
+                    f"[min-device] grid+distance "
+                    f"{_time.perf_counter() - t0:.2f}s",
+                    flush=True,
+                )
     finally:
+        t_j = _time.perf_counter()
         writer.join()
+        if dbg:
+            print(
+                f"[min-device] writer extra wait "
+                f"{_time.perf_counter() - t_j:.2f}s",
+                flush=True,
+            )
     for name, block in zip(MATRIX_NAMES, (jac, bc)):
         mat = BinaryMatrix(
             os.path.join(dist_dir, name + ".bin"), n, n

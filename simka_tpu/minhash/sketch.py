@@ -216,11 +216,13 @@ def _batched_device_sketch(
             rows = int(h.shape[0])
             cap_b = rows
             if thresholding:
-                # 4x slack over the binomial mean + absolute floor:
-                # overflow probability is astronomically small, and
-                # the end-of-run check catches it anyway
+                # the SLICE must track the binomial mean tightly or
+                # the reduction evaporates (a 4x slack cap kept ~76%
+                # of the stream); at these counts 1.15x + floor is
+                # still hundreds of sigma above the mean, and the
+                # end-of-run check catches any overflow regardless
                 exp_keep = rows * (thresh_int / 2.0**64)
-                cap_b = min(rows, int(4.0 * exp_keep) + 4096)
+                cap_b = min(rows, int(1.15 * exp_keep) + 2048)
             elif nv_host is not None:
                 cap_b = min(rows, int(nv_host))
             if cap_b < rows:
