@@ -8,10 +8,12 @@ one fused count+join+stats program -> host distance formulas -> csv.gz.
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -224,6 +226,41 @@ def _compute_statistics_out_of_core(
     budget_rows = spectrum_rows_budget(
         nw, config.max_memory_mb, eff_shards
     )
+
+    # ---- spill tier selection: device HBM > host RAM > disk. The
+    # host tiers move every spectrum row over the ~11-18 MB/s tunnel
+    # TWICE (count fetch + range re-upload; ~200 s of the round-5
+    # at-scale sweep); the device tier keeps rows in HBM when they
+    # fit beside the join working set. SIMKA_TPU_SPILL=device/ram
+    # overrides (tests force both tiers). ----
+    import os as _os
+
+    from simka_tpu.core.budget import hbm_budget_bytes
+    from simka_tpu.core.sweep import DeviceSpill
+
+    est_rows = None
+    if all(hasattr(s, "banks") for s in dataset_seqs):
+        from simka_tpu.core.budget import estimate_total_instances
+
+        est_rows = estimate_total_instances(dataset_seqs)
+    env_tier = _os.environ.get("SIMKA_TPU_SPILL")
+    use_device_spill = (
+        not config.output_tmp_dir
+        and eff_shards == 1
+        and est_rows is not None
+        and est_rows * 4 * (nw + 1) <= hbm_budget_bytes() // 3
+    )
+    if env_tier == "device":
+        use_device_spill = (
+            not config.output_tmp_dir and eff_shards == 1
+        )
+    elif env_tier in ("ram", "disk"):
+        use_device_spill = False
+    if use_device_spill:
+        # resident spectra share HBM with each range's join: shrink
+        # the per-range budget accordingly
+        budget_rows = max(budget_rows * 3 // 5, 1)
+
     spill = None
     solid = np.zeros(n, np.int64)
     nb_reads = []
@@ -231,10 +268,17 @@ def _compute_statistics_out_of_core(
     for s, seqs in enumerate(dataset_seqs):
         if log is not None:
             log(f"count [{s + 1}/{n}] {dataset_ids[s]} (out-of-core)")
-        words, counts, nr = count_dataset_spectrum(
-            seqs, k,
-            min_kmer_shannon_index=config.min_kmer_shannon_index,
-        )
+        if use_device_spill:
+            words, counts, n_rows, nr = count_dataset_spectrum_device(
+                seqs, k,
+                min_kmer_shannon_index=config.min_kmer_shannon_index,
+            )
+        else:
+            words, counts, nr = count_dataset_spectrum(
+                seqs, k,
+                min_kmer_shannon_index=config.min_kmer_shannon_index,
+            )
+            n_rows = len(counts)
         if spill is None:
             # provision ranges from the WORSE of (a) the first
             # sample's spectrum projected over all samples and (b)
@@ -243,36 +287,45 @@ def _compute_statistics_out_of_core(
             # later ones (ADVICE r4 #2) -- ranges cannot be re-split
             # once spilling starts, and over-provisioning only costs
             # extra (cheaper) sweep passes
-            projected = max(int(len(counts) * n * 1.3), 1)
-            if all(hasattr(s, "banks") for s in dataset_seqs):
-                from simka_tpu.core.budget import (
-                    estimate_total_instances,
-                )
-
-                projected = max(
-                    projected,
-                    estimate_total_instances(dataset_seqs),
-                )
+            projected = max(int(n_rows * n * 1.3), 1)
+            if est_rows is not None:
+                projected = max(projected, est_rows)
             n_ranges = max(1, -(-projected // budget_rows))
-            if config.output_tmp_dir:
+            if use_device_spill:
+                spill = DeviceSpill(n_ranges)
+            elif config.output_tmp_dir:
                 spill = SpectrumSpill(config.output_tmp_dir, n_ranges)
             else:
                 spill = RamSpill(n_ranges)
             if log is not None:
                 log(
                     f"out-of-core sweep: {n_ranges} hash ranges "
-                    f"(projected {projected} rows, budget "
+                    f"({type(spill).__name__}, projected "
+                    f"{projected} rows, budget "
                     f"{budget_rows}/range, {eff_shards} shard(s))"
                 )
-        repart += repartition_histogram(
-            [(words, counts)],
-            config.abundance_min,
-            config.abundance_max,
-        )
-        spill.spill_sample(s, words, counts)
-        solid[s] = filtered_solid_per_bank(
-            [counts], config.abundance_min, config.abundance_max
-        )[0]
+        if use_device_spill:
+            import jax as _jax
+
+            sd, hd = _spill_stats_device(
+                words, counts,
+                jnp.int64(config.abundance_min),
+                jnp.int64(config.abundance_max),
+            )
+            sd, hd = _jax.device_get((sd, hd))
+            solid[s] = int(sd)
+            repart += np.asarray(hd, np.int64)
+            spill.spill_sample(s, words, counts, n_rows)
+        else:
+            repart += repartition_histogram(
+                [(words, counts)],
+                config.abundance_min,
+                config.abundance_max,
+            )
+            spill.spill_sample(s, words, counts)
+            solid[s] = filtered_solid_per_bank(
+                [counts], config.abundance_min, config.abundance_max
+            )[0]
         nb_reads.append(nr)
     if spill is None:
         raise ValueError("no datasets")
@@ -1178,6 +1231,120 @@ def count_dataset_spectrum(
     else:
         uw, counts = merge_spectra(partials)
     return uw, counts, n_reads
+
+
+def count_dataset_spectrum_device(
+    seqs,
+    k: int,
+    stream_batch_reads: int = 1 << 20,
+    min_kmer_shannon_index: float = 0.0,
+):
+    """count_dataset_spectrum whose spectrum STAYS ON DEVICE
+    (compacted rows + SENTINEL fills): the device-resident spill
+    tier's count phase. Only the row count crosses the tunnel --
+    the host spill tiers fetched every row (~12 B/row at ~15 MB/s,
+    the dominant cost of the round-5 at-scale sweep).
+
+    Returns (words_d tuple, counts_d i32, n_rows, n_reads).
+    """
+    import jax
+
+    from simka_tpu.ops.spectrum import (
+        count_spectrum_device,
+        merge_spectra_device,
+    )
+
+    partials = []
+    parts = None
+    part_rows = 0
+    n_reads = 0
+    if not (
+        hasattr(seqs, "iter_packed")
+        and getattr(seqs, "encoding", "acgt") == "acgt"
+    ):
+        # non-packed providers take the host path, then ship once
+        words, counts, n_reads = count_dataset_spectrum(
+            seqs, k, stream_batch_reads, min_kmer_shannon_index
+        )
+        import jax.numpy as jnp
+
+        return (
+            tuple(jnp.asarray(w) for w in words),
+            jnp.asarray(counts, jnp.int32),
+            len(counts),
+            n_reads,
+        )
+    for packed, vb, n, _n_valid in seqs.iter_packed(
+        min(stream_batch_reads, 1 << 17), k=k
+    ):
+        n_reads += n
+        flat = _extract_flat_program(
+            jax.device_put(packed),
+            jax.device_put(vb),
+            k=k,
+            multi=k > 31,
+            min_shannon=float(min_kmer_shannon_index),
+        )
+        if parts is None:
+            parts = [[] for _ in flat]
+        for i, w in enumerate(flat):
+            parts[i].append(w)
+        part_rows += flat[0].shape[0]
+        if part_rows >= stream_batch_reads * 32:
+            partials.append(
+                count_spectrum_device(
+                    *(jnp.concatenate(pp) for pp in parts)
+                )
+            )
+            parts = None
+            part_rows = 0
+    if parts is not None:
+        partials.append(
+            count_spectrum_device(
+                *(jnp.concatenate(pp) for pp in parts)
+            )
+        )
+    if not partials:
+        import jax.numpy as jnp
+
+        nw = 2 if k <= 31 else n_words_for_k(k)
+        return (
+            tuple(jnp.empty(0, jnp.uint32) for _ in range(nw)),
+            jnp.empty(0, jnp.int32),
+            0,
+            0,
+        )
+    ws, cs, n_rows = merge_spectra_device(partials)
+    return ws, cs, n_rows, n_reads
+
+
+@functools.partial(jax.jit, static_argnames=("n_buckets",))
+def _spill_stats_device(
+    words, counts, abundance_min, abundance_max, n_buckets: int = 16
+):
+    """Per-sample spill-time statistics ON DEVICE: the post-filter
+    solid total (count_synchro metadata role) and the 16-bucket
+    repartition histogram (same chained mix as the host
+    repartition_histogram) -- tiny fetches instead of row fetches."""
+    from simka_tpu.ops.intmatmul import binned_sum
+    from simka_tpu.ops.kmers import SENTINEL, mix_hash
+
+    real = words[0] != SENTINEL
+    c = counts.astype(jnp.int64)
+    keep = real & (c >= abundance_min) & (c <= abundance_max)
+    solid = jnp.sum(jnp.where(keep, c, 0))
+    h = words[0]
+    for w in words[1:]:
+        h = mix_hash(h, w)
+    bucket = jnp.where(
+        keep,
+        (h % jnp.uint32(n_buckets)).astype(jnp.int32),
+        n_buckets,
+    )
+    hist = binned_sum(
+        keep.astype(jnp.int64), bucket, n_buckets, bits=1
+    )
+    return solid, hist
 
 
 def repartition_histogram(

@@ -156,6 +156,172 @@ class RamSpill:
         self._store.clear()
 
 
+class DeviceSpill:
+    """HBM-resident tier of the spectrum spill (same interface).
+
+    The round-5 bandwidth probe measured the host<->device tunnel at
+    ~11-18 MB/s each way; the host spill tiers move every spectrum
+    row across it twice (count-phase fetch + per-range re-upload) --
+    ~200 s of a 230 s N=100 at-scale sweep was pure transfer. The
+    defended resource is the JOIN working set (~8x row bytes), which
+    exceeds the HBM plan long before the raw spectra (12 B/row) do:
+    this tier keeps every sample's rows ON DEVICE (SENTINEL-padded
+    to size classes) and extracts each hash range with ONE traced
+    program over the concatenated stream (mask + stable compaction)
+    -- per-sample device slicing would compile a program per ragged
+    shape on the remote service. Tier selection (core/pipeline.py)
+    falls back to RamSpill/SpectrumSpill when the spectra themselves
+    would crowd HBM.
+
+    ``spill_sample`` accepts device or host rows (host rows ship
+    once); rows may be class-padded with SENTINEL first-words beyond
+    ``n_rows``.
+    """
+
+    def __init__(self, n_ranges: int):
+        self.n_ranges = n_ranges
+        self._samples = {}
+        self._concat = None
+
+    def spill_sample(self, sample, words, counts, n_rows=None) -> None:
+        import jax.numpy as jnp
+
+        from simka_tpu.utils.sizeclass import pad_size_class
+
+        if n_rows is None:
+            n_rows = len(words[0])
+        target = pad_size_class(max(n_rows, 1), min_bits=10)
+        ws = tuple(jnp.asarray(w) for w in words)
+        cs = jnp.asarray(counts, jnp.int32)
+        if ws[0].shape[0] != target:
+            ws, cs = _pad_rows_class(
+                ws, cs, np.int32(n_rows), nw=len(ws), target=target
+            )
+        self._samples[sample] = (ws, cs, int(n_rows))
+        self._concat = None
+
+    def _ensure_concat(self, n_samples: int):
+        import jax.numpy as jnp
+
+        if self._concat is not None:
+            return self._concat
+        nw = len(self._samples[0][0])
+        words = tuple(
+            jnp.concatenate(
+                [self._samples[s][0][i] for s in range(n_samples)]
+            )
+            for i in range(nw)
+        )
+        counts = jnp.concatenate(
+            [self._samples[s][1] for s in range(n_samples)]
+        )
+        starts = np.zeros(n_samples + 1, np.int64)
+        for s in range(n_samples):
+            starts[s + 1] = (
+                starts[s] + self._samples[s][0][0].shape[0]
+            )
+        self._concat = (words, counts, starts)
+        return self._concat
+
+    def load_range(self, r: int, n_samples: int):
+        import jax.numpy as jnp
+
+        from simka_tpu.utils.sizeclass import pad_size_class
+
+        words, counts, starts = self._ensure_concat(n_samples)
+        nw = len(words)
+        ws, sid, cs, n = _range_extract(
+            words,
+            counts,
+            jnp.asarray(starts.astype(np.int32)),
+            jnp.int32(r),
+            nw=nw,
+            n_ranges=self.n_ranges,
+            n_samples=n_samples,
+        )
+        cap = pad_size_class(int(np.asarray(n)), min_bits=10)
+        cap = min(cap, words[0].shape[0])
+        return (
+            tuple(w[:cap] for w in ws),
+            sid[:cap],
+            cs[:cap],
+        )
+
+    def cleanup(self) -> None:
+        self._samples.clear()
+        self._concat = None
+
+
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnames=("nw", "target"))
+def _pad_rows_class(words, counts, n_rows, *, nw, target):
+    """Pad/trim one sample's rows to ``target`` with SENTINEL
+    first-words beyond ``n_rows`` (rows arriving pre-padded keep
+    their own fills consistent)."""
+    import jax.numpy as jnp
+
+    R = words[0].shape[0]
+    if R < target:
+        words = tuple(
+            jnp.concatenate(
+                [w, jnp.full((target - R,), SENTINEL32, jnp.uint32)]
+            )
+            for w in words
+        )
+        counts = jnp.concatenate(
+            [counts, jnp.zeros((target - R,), counts.dtype)]
+        )
+    else:
+        words = tuple(w[:target] for w in words)
+        counts = counts[:target]
+    idx = jnp.arange(target, dtype=jnp.int32)
+    real = idx < n_rows
+    words = (
+        jnp.where(real, words[0], SENTINEL32),
+        *words[1:],
+    )
+    return words, jnp.where(real, counts, 0)
+
+
+@_functools.partial(
+    jax.jit, static_argnames=("nw", "n_ranges", "n_samples")
+)
+def _range_extract(words, counts, starts, r, *, nw, n_ranges, n_samples):
+    """One hash range's rows from the concatenated all-sample stream:
+    per-row sample id from the start offsets, range mask, stable
+    compaction. Returns (words, sid, counts, n) with SENTINEL fills
+    past n -- exactly the join's expected layout."""
+    import jax.numpy as jnp
+
+    from simka_tpu.ops.compact import compact_rows
+    from simka_tpu.ops.kmers import mix_hash
+
+    E = words[0].shape[0]
+    idx = jnp.arange(E, dtype=jnp.int32)
+    sid = jnp.zeros(E, jnp.int32)
+    for s in range(1, n_samples):
+        sid = sid + (idx >= starts[s]).astype(jnp.int32)
+    real = words[0] != SENTINEL32
+    h = words[0]
+    for w in words[1:]:
+        h = mix_hash(h, w)
+    h = mix_hash(h, jnp.uint32(0x27D4EB2F))
+    keep = real & ((h % jnp.uint32(n_ranges)).astype(jnp.int32) == r)
+    comp = compact_rows(
+        (*words, sid, counts),
+        keep,
+        fills=(SENTINEL32,) * nw + (0, 0),
+    )
+    return (
+        comp[:nw],
+        comp[nw],
+        comp[nw + 1],
+        jnp.sum(keep.astype(jnp.int64)),
+    )
+
+
 def _add_join_stats(a: JoinStats, b: JoinStats) -> JoinStats:
     """Elementwise fold (the reference's SimkaStatistics::operator+=,
     SimkaDistance.cpp:156-213) -- every field is additive over

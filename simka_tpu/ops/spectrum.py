@@ -55,6 +55,58 @@ def count_spectrum(*word_arrays) -> Tuple:
 
 
 @functools.partial(jax.jit, static_argnames=("nw",))
+def _compact_spectrum_device(words, counts, uniq, nw: int):
+    """Compact distinct rows to the front ON DEVICE (SENTINEL fills):
+    the device-resident spill keeps spectra in HBM, so the host-side
+    boolean-mask fetch of count_spectrum never happens -- only the
+    row-count scalar crosses the tunnel."""
+    from simka_tpu.ops.compact import compact_rows
+
+    comp = compact_rows(
+        (*words, counts.astype(jnp.int32)),
+        uniq,
+        fills=(SENTINEL,) * nw + (0,),
+    )
+    return (
+        comp[:nw],
+        comp[nw],
+        jnp.sum(uniq.astype(jnp.int64)),
+    )
+
+
+def count_spectrum_device(*word_arrays):
+    """Device-resident count_spectrum: returns (words tuple, counts
+    i32, n_rows int) with rows compacted at the front and SENTINEL
+    fills behind -- arrays stay on device."""
+    words = tuple(jnp.asarray(w) for w in word_arrays)
+    ws, c, m = _count_spectrum_device(words, nw=len(words))
+    ws2, c2, n = _compact_spectrum_device(ws, c, m, nw=len(words))
+    return ws2, c2, int(np.asarray(n))
+
+
+def merge_spectra_device(spectra_list):
+    """Device-resident merge_spectra: fold per-batch (words, counts,
+    n_rows) device spectra of ONE sample into one compacted device
+    spectrum. Padding rows (SENTINEL words, zero counts) merge
+    harmlessly: they group under the SENTINEL key, which the uniq
+    mask drops."""
+    spectra_list = list(spectra_list)
+    if len(spectra_list) == 1:
+        return spectra_list[0]
+    nw = len(spectra_list[0][0])
+    words = tuple(
+        jnp.concatenate([s[0][i] for s in spectra_list])
+        for i in range(nw)
+    )
+    counts = jnp.concatenate(
+        [s[1].astype(jnp.int64) for s in spectra_list]
+    )
+    ws, total, m = _merge_spectra_device(words, counts, nw)
+    ws2, c2, n = _compact_spectrum_device(ws, total, m, nw=nw)
+    return ws2, c2, int(np.asarray(n))
+
+
+@functools.partial(jax.jit, static_argnames=("nw",))
 def _merge_spectra_device(words, counts, nw: int):
     """Merge (kmer, count) rows with duplicate kmers: sort rows and
     sum counts per group via prefix differences (no scatter)."""

@@ -94,6 +94,32 @@ def test_forced_budget_matches_in_memory(
     _stats_equal(ref, got)
 
 
+@pytest.mark.parametrize("tier", ["device", "ram"])
+def test_spill_tiers_match_in_memory(
+    sample_sets, tier, monkeypatch
+):
+    """The DEVICE-resident spill tier (spectra stay in HBM; rows
+    never cross the host link between count and join -- the round-5
+    fix for the transfer-bound sweep) must produce identical
+    statistics to the host-RAM tier and the in-memory join.
+    Providers here lack .banks, so force the tier explicitly."""
+    ids = ["A", "B", "C", "D"]
+    ref = compute_statistics(sample_sets, ids, _config(1))
+
+    monkeypatch.setenv("SIMKA_TPU_HBM_MB", "1")
+    monkeypatch.setenv("SIMKA_TPU_SPILL", tier)
+    log_lines = []
+    observer = {}
+    got = compute_statistics(
+        sample_sets, ids, _config(1),
+        log=log_lines.append, observer=observer,
+    )
+    want = "DeviceSpill" if tier == "device" else "RamSpill"
+    assert any(want in m for m in log_lines), log_lines
+    assert observer.get("sweep_ranges", 0) > 1, observer
+    _stats_equal(ref, got)
+
+
 def test_upfront_estimate_routes_out_of_core(tmp_path, monkeypatch):
     """run_simka's file-size estimate must route oversized runs
     straight out-of-core (no wasted ingest) and still byte-match the
