@@ -31,8 +31,16 @@ import jax.numpy as jnp
 
 
 def pallas_available() -> bool:
-    # default OFF until the on-chip A/B validates it this round; =1
-    # forces it on (CPU runs use the interpreter -- tests only)
+    # RECORDED NEGATIVE (round 5, on-chip): Mosaic rejects the
+    # dynamic-offset HBM DMA this kernel needs -- "Slice shape along
+    # dimension 0 must be aligned to tiling (8)" for 2-D row slices,
+    # and the 1-D probe (scripts/profiling/test_dma_align.py) fails
+    # at any offset that is not tile-aligned (131, 777 -> compile
+    # error). Rank offsets are arbitrary by construction, so the
+    # gap-close (and every radix-partition scheme needing
+    # place-at-rank writes) cannot be expressed; the fori_loop of
+    # dynamic_update_slice stays the production path. =1 keeps the
+    # kernel testable under the Pallas interpreter (CPU).
     return os.environ.get("SIMKA_TPU_PALLAS") == "1"
 
 
@@ -52,16 +60,20 @@ def _gapclose_call(n_cols: int, nblocks: int, block: int, dtypes):
         b = pl.program_id(0)
         off = offs_ref[b]
         for c in range(n_cols):
+            # x64 mode makes bare python ints i64; Mosaic's memref
+            # slicing wants i32 indices
+            ci = jnp.int32(c)
             pltpu.make_async_copy(
                 ins[c].at[b],
                 outs[c].at[pl.ds(off, block)],
-                sem.at[c],
+                sem.at[ci],
             ).start()
         for c in range(n_cols):
+            ci = jnp.int32(c)
             pltpu.make_async_copy(
                 ins[c].at[b],
                 outs[c].at[pl.ds(off, block)],
-                sem.at[c],
+                sem.at[ci],
             ).wait()
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
