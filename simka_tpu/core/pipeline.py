@@ -1266,8 +1266,6 @@ def count_dataset_spectrum_device(
         words, counts, n_reads = count_dataset_spectrum(
             seqs, k, stream_batch_reads, min_kmer_shannon_index
         )
-        import jax.numpy as jnp
-
         return (
             tuple(jnp.asarray(w) for w in words),
             jnp.asarray(counts, jnp.int32),
@@ -1305,7 +1303,7 @@ def count_dataset_spectrum_device(
             )
         )
     if not partials:
-        import jax.numpy as jnp
+        from simka_tpu.ops.kmers import n_words_for_k
 
         nw = 2 if k <= 31 else n_words_for_k(k)
         return (

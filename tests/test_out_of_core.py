@@ -120,6 +120,33 @@ def test_spill_tiers_match_in_memory(
     _stats_equal(ref, got)
 
 
+def test_device_spill_with_packed_sources(tmp_path, monkeypatch):
+    """The device tier's NATIVE count path (count_dataset_spectrum_device
+    over PackedReadSource) must match the in-memory join -- the list
+    providers above take the host-count branch and once hid a
+    shadowed-import bug in the packed branch."""
+    from simka_tpu.io.packed import PackedReadSource
+
+    rng = np.random.default_rng(5)
+    srcs, ids = [], []
+    for name in "ABC":
+        f = tmp_path / f"{name}.fasta"
+        with open(f, "wb") as fh:
+            for i, r in enumerate(_reads(rng, 150)):
+                fh.write(b">r%d\n%s\n" % (i, r))
+        srcs.append(PackedReadSource([[str(f)]]))
+        ids.append(name)
+    ref = compute_statistics(srcs, ids, _config(1))
+    monkeypatch.setenv("SIMKA_TPU_HBM_MB", "1")
+    monkeypatch.setenv("SIMKA_TPU_SPILL", "device")
+    log_lines = []
+    got = compute_statistics(
+        srcs, ids, _config(1), log=log_lines.append
+    )
+    assert any("DeviceSpill" in m for m in log_lines), log_lines
+    _stats_equal(ref, got)
+
+
 def test_upfront_estimate_routes_out_of_core(tmp_path, monkeypatch):
     """run_simka's file-size estimate must route oversized runs
     straight out-of-core (no wasted ingest) and still byte-match the
