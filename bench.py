@@ -400,9 +400,10 @@ def bench_out_of_core(deadline):
         target_inst // (n_samples * (read_len - k + 1)), 1000
     )
     total_instances = n_samples * n_reads * (read_len - k + 1)
-    # generous wall estimate: ingest ~ instances/3e7 s, sweep joins
-    # ~2x that; bail early rather than lose the line to the watchdog
-    if time.monotonic() + total_instances / 8e6 > deadline:
+    # wall estimate from the measured warm run (~120 s at 125M with
+    # the device spill tier); bail early rather than lose the line
+    # to the watchdog
+    if time.monotonic() + total_instances / 1.2e6 > deadline:
         return {
             "ooc_skipped": "deadline",
             "ooc_planned_instances": total_instances,

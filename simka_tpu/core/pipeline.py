@@ -265,13 +265,41 @@ def _compute_statistics_out_of_core(
     solid = np.zeros(n, np.int64)
     nb_reads = []
     repart = np.zeros(16, np.int64)
+
+    if use_device_spill:
+        # two samples in flight: sample i+1's native parse + device
+        # dispatch overlaps sample i's programs, and the per-sample
+        # row-count/stat fetches are DEFERRED to one batch at the end
+        # (each fetch is a tunnel round trip; 100 sequential chains
+        # with 2 syncs each dominated the first at-scale run)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def count_one(seqs):
+            return count_dataset_spectrum_device(
+                seqs, k,
+                min_kmer_shannon_index=config.min_kmer_shannon_index,
+                defer_n_rows=True,
+            )
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        pending = None
+        deferred = []  # (sample, solid_d, hist_d)
     for s, seqs in enumerate(dataset_seqs):
         if log is not None:
             log(f"count [{s + 1}/{n}] {dataset_ids[s]} (out-of-core)")
         if use_device_spill:
-            words, counts, n_rows, nr = count_dataset_spectrum_device(
-                seqs, k,
-                min_kmer_shannon_index=config.min_kmer_shannon_index,
+            if pending is None:
+                pending = pool.submit(count_one, seqs)
+            words, counts, n_rows_d, nr = pending.result()
+            pending = (
+                pool.submit(count_one, dataset_seqs[s + 1])
+                if s + 1 < n
+                else None
+            )
+            n_rows = (
+                int(np.asarray(n_rows_d))
+                if spill is None
+                else words[0].shape[0]  # class sizing only
             )
         else:
             words, counts, nr = count_dataset_spectrum(
@@ -305,16 +333,12 @@ def _compute_statistics_out_of_core(
                     f"{budget_rows}/range, {eff_shards} shard(s))"
                 )
         if use_device_spill:
-            import jax as _jax
-
             sd, hd = _spill_stats_device(
                 words, counts,
                 jnp.int64(config.abundance_min),
                 jnp.int64(config.abundance_max),
             )
-            sd, hd = _jax.device_get((sd, hd))
-            solid[s] = int(sd)
-            repart += np.asarray(hd, np.int64)
+            deferred.append((s, sd, hd))
             spill.spill_sample(s, words, counts, n_rows)
         else:
             repart += repartition_histogram(
@@ -327,6 +351,15 @@ def _compute_statistics_out_of_core(
                 [counts], config.abundance_min, config.abundance_max
             )[0]
         nb_reads.append(nr)
+    if use_device_spill:
+        pool.shutdown(wait=False)
+        if deferred:
+            fetched = jax.device_get(
+                [(sd, hd) for _, sd, hd in deferred]
+            )
+            for (s, _, _), (sd, hd) in zip(deferred, fetched):
+                solid[s] = int(sd)
+                repart += np.asarray(hd, np.int64)
     if spill is None:
         raise ValueError("no datasets")
     if observer is not None:
@@ -1238,6 +1271,7 @@ def count_dataset_spectrum_device(
     k: int,
     stream_batch_reads: int = 1 << 20,
     min_kmer_shannon_index: float = 0.0,
+    defer_n_rows: bool = False,
 ):
     """count_dataset_spectrum whose spectrum STAYS ON DEVICE
     (compacted rows + SENTINEL fills): the device-resident spill
@@ -1291,7 +1325,8 @@ def count_dataset_spectrum_device(
         if part_rows >= stream_batch_reads * 32:
             partials.append(
                 count_spectrum_device(
-                    *(jnp.concatenate(pp) for pp in parts)
+                    *(jnp.concatenate(pp) for pp in parts),
+                    defer_n_rows=True,
                 )
             )
             parts = None
@@ -1299,7 +1334,8 @@ def count_dataset_spectrum_device(
     if parts is not None:
         partials.append(
             count_spectrum_device(
-                *(jnp.concatenate(pp) for pp in parts)
+                *(jnp.concatenate(pp) for pp in parts),
+                defer_n_rows=True,
             )
         )
     if not partials:
@@ -1312,7 +1348,13 @@ def count_dataset_spectrum_device(
             0,
             0,
         )
-    ws, cs, n_rows = merge_spectra_device(partials)
+    ws, cs, n_rows = merge_spectra_device(
+        partials, defer_n_rows=defer_n_rows
+    )
+    if len(partials) == 1 and not defer_n_rows:
+        import numpy as _np
+
+        n_rows = int(_np.asarray(n_rows))
     return ws, cs, n_rows, n_reads
 
 

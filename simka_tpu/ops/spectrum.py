@@ -74,17 +74,19 @@ def _compact_spectrum_device(words, counts, uniq, nw: int):
     )
 
 
-def count_spectrum_device(*word_arrays):
+def count_spectrum_device(*word_arrays, defer_n_rows: bool = False):
     """Device-resident count_spectrum: returns (words tuple, counts
-    i32, n_rows int) with rows compacted at the front and SENTINEL
-    fills behind -- arrays stay on device."""
+    i32, n_rows) with rows compacted at the front and SENTINEL
+    fills behind -- arrays stay on device. ``defer_n_rows`` keeps
+    n_rows a device scalar (no tunnel round trip; the out-of-core
+    count phase fetches them in one batch at the end)."""
     words = tuple(jnp.asarray(w) for w in word_arrays)
     ws, c, m = _count_spectrum_device(words, nw=len(words))
     ws2, c2, n = _compact_spectrum_device(ws, c, m, nw=len(words))
-    return ws2, c2, int(np.asarray(n))
+    return ws2, c2, (n if defer_n_rows else int(np.asarray(n)))
 
 
-def merge_spectra_device(spectra_list):
+def merge_spectra_device(spectra_list, defer_n_rows: bool = False):
     """Device-resident merge_spectra: fold per-batch (words, counts,
     n_rows) device spectra of ONE sample into one compacted device
     spectrum. Padding rows (SENTINEL words, zero counts) merge
@@ -103,7 +105,7 @@ def merge_spectra_device(spectra_list):
     )
     ws, total, m = _merge_spectra_device(words, counts, nw)
     ws2, c2, n = _compact_spectrum_device(ws, total, m, nw=nw)
-    return ws2, c2, int(np.asarray(n))
+    return ws2, c2, (n if defer_n_rows else int(np.asarray(n)))
 
 
 @functools.partial(jax.jit, static_argnames=("nw",))
