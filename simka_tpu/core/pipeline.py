@@ -809,6 +809,8 @@ def _extract_windows_program(
         mix_hash,
     )
 
+    from simka_tpu.ops.compact import compact_rows
+
     words = extract_packed(packed, validbits, k, multi=multi)
     if min_shannon > 0.0:
         keep = kmer_shannon_index_words(words, k) >= min_shannon
@@ -817,17 +819,32 @@ def _extract_windows_program(
         row_sid[:, None], words[0].shape
     ).ravel()
     flat = tuple(w.ravel() for w in words)
-    if not with_hist:
-        return flat, sid, ()
-    h = flat[0]
-    for w in flat[1:]:
-        h = mix_hash(h, w)
-    valid = flat[0] != SENTINEL
-    bucket = jnp.where(
-        valid, (h % jnp.uint32(16)).astype(jnp.int32), 16
+    if with_hist:
+        h = flat[0]
+        for w in flat[1:]:
+            h = mix_hash(h, w)
+        valid = flat[0] != SENTINEL
+        bucket = jnp.where(
+            valid, (h % jnp.uint32(16)).astype(jnp.int32), 16
+        )
+        hist = binned_sum(
+            valid.astype(jnp.int64), bucket, 16, bits=40
+        )
+    else:
+        hist = ()
+    # valid windows compacted to the front IN the same program: when
+    # the native parser's window count is host-known, the caller
+    # slices each batch near its real size, so per-read width/row
+    # padding never reaches the join's sort and the old global
+    # compaction pass (one extra full-stream program) disappears
+    # (ROADMAP lever 1)
+    nw = len(flat)
+    comp = compact_rows(
+        (*flat, sid),
+        flat[0] != SENTINEL,
+        fills=(SENTINEL,) * nw + (0,),
     )
-    hist = binned_sum(valid.astype(jnp.int64), bucket, 16, bits=40)
-    return flat, sid, hist
+    return comp[:nw], comp[nw], hist
 
 
 
@@ -918,7 +935,7 @@ def _compute_statistics_device(
     }
     valid_tally = {"n": 0}
 
-    def device_extract(row_sid, packed, validbits):
+    def device_extract(row_sid, packed, validbits, n_valid=None):
         flat, sid, hist = _extract_windows_program(
             packed,
             validbits,
@@ -930,6 +947,14 @@ def _compute_statistics_device(
         )
         if observer is not None:
             hists.append(hist)
+        if n_valid is not None:
+            # windows are valid-compacted in-program; slice near the
+            # native parser's count, rounded to a ~3-bit-mantissa
+            # class so downstream concat shapes stay stable
+            cls = _coalesced_row_class(max(int(n_valid), 1))
+            if cls < flat[0].shape[0]:
+                flat = tuple(w[:cls] for w in flat)
+                sid = sid[:cls]
         batches.append((flat, sid))
         nonlocal_rows[0] += flat[0].shape[0]
         if nonlocal_rows[0] > rows_budget:
@@ -960,7 +985,7 @@ def _compute_statistics_device(
 
     def consume(sid_row, packed, vb, n_valid):
         t0 = time.perf_counter()
-        device_extract(sid_row, packed, vb)
+        device_extract(sid_row, packed, vb, n_valid)
         timers["extract_dispatch_s"] += time.perf_counter() - t0
 
     _pipelined_ingest(stream, ship, consume)
