@@ -74,6 +74,16 @@ def _sketch_stream_threshold() -> int:
     return max(hbm_budget_bytes() // 64, 1 << 22)
 
 
+def _bail(reason: str) -> None:
+    """One stderr line when the batched sketch falls back -- the
+    per-sample path is ~10x slower at wide N, so silent fallbacks
+    look like mystery regressions (one did, in the at-scale bench)."""
+    import sys
+
+    print(f"[simka-tpu min] batched sketch fallback: {reason}",
+          file=sys.stderr, flush=True)
+
+
 def _batched_instance_limit() -> int:
     """Max total k-mer instances the coalesced multi-sample sketch
     holds on device at once. Per instance inside the fused program:
@@ -238,6 +248,7 @@ def _batched_device_sketch(
             if total > limit:
                 # outgrew the multi-sample HBM plan: the per-sample
                 # path has an O(s) streaming state for exactly this
+                _bail("stream %d > limit %d" % (total, limit))
                 return None
 
     if total == 0:
@@ -298,18 +309,31 @@ def _batched_device_sketch(
         #     without it (rare: 8x slack over the expected need).
         for cap_b, ik_b in zip(caps, ik_all):
             if int(np.asarray(ik_b).sum()) > cap_b:
+                _bail(
+                    "prefilter slice overflow: kept %d > cap %d"
+                    % (int(np.asarray(ik_b).sum()), cap_b)
+                )
                 return None
         inst_total = np.sum(np.asarray(it_all, np.int64), axis=0)
         inst_kept = np.sum(np.asarray(ik_all, np.int64), axis=0)
         if not np.all(
             (n_kept >= sketch_size) | (inst_total == inst_kept)
         ):
+            bad = np.nonzero(
+                ~((n_kept >= sketch_size) | (inst_total == inst_kept))
+            )[0]
+            _bail(
+                "prefilter underfill: samples %s (n_kept %s)"
+                % (bad[:5].tolist(), n_kept[bad[:5]].tolist())
+            )
             return None
     else:
         total_valid = int(np.sum(np.asarray(nv_all, np.int64)))
         if int(n_full64) != target - total_valid:
             # a real k-mer hashed to all-ones: indistinguishable
             # from padding on device; the caller recomputes exactly
+            _bail("FULL64 corner: %d != %d"
+                  % (int(n_full64), target - total_valid))
             return None
     return {
         "empty": False,
