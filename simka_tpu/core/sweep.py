@@ -188,6 +188,13 @@ class DeviceSpill:
 
         from simka_tpu.utils.sizeclass import pad_size_class
 
+        if self._concat is not None:
+            # the per-sample arrays are dropped when the concat is
+            # built (HBM residency); the sweep is strictly
+            # spill-then-load, so a late spill is a caller bug
+            raise RuntimeError(
+                "DeviceSpill: spill_sample after load_range"
+            )
         if n_rows is None:
             n_rows = len(words[0])
         target = pad_size_class(max(n_rows, 1), min_bits=10)
@@ -206,6 +213,11 @@ class DeviceSpill:
         if self._concat is not None:
             return self._concat
         nw = len(self._samples[0][0])
+        starts = np.zeros(n_samples + 1, np.int64)
+        for s in range(n_samples):
+            starts[s + 1] = (
+                starts[s] + self._samples[s][0][0].shape[0]
+            )
         words = tuple(
             jnp.concatenate(
                 [self._samples[s][0][i] for s in range(n_samples)]
@@ -215,11 +227,10 @@ class DeviceSpill:
         counts = jnp.concatenate(
             [self._samples[s][1] for s in range(n_samples)]
         )
-        starts = np.zeros(n_samples + 1, np.int64)
-        for s in range(n_samples):
-            starts[s + 1] = (
-                starts[s] + self._samples[s][0][0].shape[0]
-            )
+        # the per-sample arrays are dead once the concat exists --
+        # keeping both doubled HBM residency right at the point the
+        # range joins need their workspace
+        self._samples.clear()
         self._concat = (words, counts, starts)
         return self._concat
 
